@@ -1,0 +1,419 @@
+"""Functional Whisper encoder-decoder on pytree params.
+
+TPU-native re-design of the machinery the reference delegates to HF
+`WhisperForConditionalGeneration` (invocation sites run_distillation.py:466-498,
+628-649; architecture facts SURVEY.md §2.4): conv1d(k3,s1)+GELU →
+conv1d(k3,s2)+GELU stem, fixed sinusoidal encoder positions (1500), pre-LN
+transformer blocks, learned decoder positions (448), tied input/output
+embedding, k-projection without bias.
+
+Design choices (TPU-first, not a torch translation):
+  - Params are plain nested dicts; every transformer layer's weights are
+    STACKED on a leading (num_layers,) axis and the block is driven by
+    `lax.scan` — one compiled layer body regardless of depth, and
+    maximally-spaced student init (create_student_model.py:78-90 semantics)
+    becomes a single gather on that axis (models/student_init.py).
+  - All shapes static; KV caches are fixed-capacity buffers updated with
+    `lax.dynamic_update_slice` so the decode loop jits once.
+  - Softmax/LN in fp32, matmuls bf16-in/fp32-accumulate via
+    preferred_element_type; `compute_dtype` selects the activation dtype.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kotoba_whisper_tpu.core.config import WhisperConfig
+from kotoba_whisper_tpu.ops.attention import attention
+
+Params = Any  # nested dict pytree
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed encoder position table (log-spaced sinusoids)."""
+    assert channels % 2 == 0
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(
+        np.float32
+    )
+
+
+def _dense(key, d_in, d_out, bias=True, std=0.02):
+    kkey, _ = jax.random.split(key)
+    p = {"kernel": jax.random.normal(kkey, (d_in, d_out), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _ln(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def _attn_params(key, d, *, cross=False):
+    ks = jax.random.split(key, 4)
+    return {
+        "q_proj": _dense(ks[0], d, d),
+        "k_proj": _dense(ks[1], d, d, bias=False),  # Whisper: no k bias
+        "v_proj": _dense(ks[2], d, d),
+        "out_proj": _dense(ks[3], d, d),
+    }
+
+
+def _stack_layers(layer_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+
+
+def init_params(key: jax.Array, cfg: WhisperConfig) -> Params:
+    k = iter(jax.random.split(key, 16 + 4 * (cfg.encoder_layers + cfg.decoder_layers)))
+    d = cfg.d_model
+
+    def enc_layer():
+        return {
+            "self_attn": _attn_params(next(k), d),
+            "self_attn_layer_norm": _ln(d),
+            "fc1": _dense(next(k), d, cfg.encoder_ffn_dim),
+            "fc2": _dense(next(k), cfg.encoder_ffn_dim, d),
+            "final_layer_norm": _ln(d),
+        }
+
+    def dec_layer():
+        return {
+            "self_attn": _attn_params(next(k), d),
+            "self_attn_layer_norm": _ln(d),
+            "encoder_attn": _attn_params(next(k), d, cross=True),
+            "encoder_attn_layer_norm": _ln(d),
+            "fc1": _dense(next(k), d, cfg.decoder_ffn_dim),
+            "fc2": _dense(next(k), cfg.decoder_ffn_dim, d),
+            "final_layer_norm": _ln(d),
+        }
+
+    encoder = {
+        "conv1": {
+            "kernel": jax.random.normal(next(k), (3, cfg.num_mel_bins, d)) * 0.02,
+            "bias": jnp.zeros((d,)),
+        },
+        "conv2": {
+            "kernel": jax.random.normal(next(k), (3, d, d)) * 0.02,
+            "bias": jnp.zeros((d,)),
+        },
+        "pos_embedding": jnp.asarray(
+            sinusoidal_positions(cfg.max_source_positions, d)
+        ),
+        "layers": _stack_layers([enc_layer() for _ in range(cfg.encoder_layers)]),
+        "layer_norm": _ln(d),
+    }
+    decoder = {
+        "embed_tokens": {
+            "embedding": jax.random.normal(next(k), (cfg.vocab_size, d)) * 0.02
+        },
+        "pos_embedding": jax.random.normal(next(k), (cfg.max_target_positions, d))
+        * 0.02,
+        "layers": _stack_layers([dec_layer() for _ in range(cfg.decoder_layers)]),
+        "layer_norm": _ln(d),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def layer_norm(p, x, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def dense(p, x):
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def split_heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def merge_heads(x):
+    b, t, h, hd = x.shape
+    return x.reshape(b, t, h * hd)
+
+
+def mha(p, x, kv_x, n_heads, *, mask=None, causal=False, impl="xla"):
+    q = split_heads(dense(p["q_proj"], x), n_heads)
+    k = split_heads(dense(p["k_proj"], kv_x), n_heads)
+    v = split_heads(dense(p["v_proj"], kv_x), n_heads)
+    o = attention(q, k, v, mask, causal=causal, impl=impl)
+    return dense(p["out_proj"], merge_heads(o))
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def conv1d(p, x, stride):
+    """x: (B, T, C_in), kernel (K, C_in, C_out), SAME-ish padding=1 (K=3)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def encode(
+    params: Params,
+    cfg: WhisperConfig,
+    input_features: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "xla",
+    remat: bool = False,
+) -> jax.Array:
+    """(B, n_mels, 3000) log-mel -> (B, 1500, d) encoder states."""
+    enc = params["encoder"]
+    x = jnp.transpose(input_features, (0, 2, 1)).astype(compute_dtype)
+    x = jax.nn.gelu(conv1d(enc["conv1"], x, 1), approximate=False)
+    x = jax.nn.gelu(conv1d(enc["conv2"], x, 2), approximate=False)
+    x = x + enc["pos_embedding"].astype(compute_dtype)[None]
+
+    n_heads = cfg.encoder_attention_heads
+
+    def block(x, lp):
+        h = layer_norm(lp["self_attn_layer_norm"], x, cfg.layer_norm_eps)
+        x = x + mha(lp["self_attn"], h, h, n_heads, impl=attn_impl)
+        h = layer_norm(lp["final_layer_norm"], x, cfg.layer_norm_eps)
+        h = jax.nn.gelu(dense(lp["fc1"], h), approximate=False)
+        x = x + dense(lp["fc2"], h)
+        return x, None
+
+    if remat:
+        block = jax.checkpoint(block)
+    x, _ = jax.lax.scan(block, x, enc["layers"])
+    return layer_norm(enc["layer_norm"], x, cfg.layer_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Fixed-capacity decoder cache, layers stacked on axis 0.
+
+    self_k/self_v: (L, B, capacity, H, hd); cross_k/cross_v precomputed from
+    encoder states once per utterance: (L, B, 1500, H, hd); length: ()
+    current fill (same for all batch rows — decode is lockstep).
+    """
+
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+    length: jax.Array
+
+
+def init_cache(
+    params: Params,
+    cfg: WhisperConfig,
+    encoder_out: jax.Array,
+    capacity: int,
+    *,
+    compute_dtype=jnp.float32,
+) -> KVCache:
+    dec = params["decoder"]
+    b = encoder_out.shape[0]
+    h = cfg.decoder_attention_heads
+    hd = cfg.d_model // h
+
+    def cross_kv(lp):
+        k = split_heads(dense(lp["encoder_attn"]["k_proj"], encoder_out), h)
+        v = split_heads(dense(lp["encoder_attn"]["v_proj"], encoder_out), h)
+        return k, v
+
+    cross_k, cross_v = jax.vmap(cross_kv, in_axes=0, out_axes=0)(dec["layers"])
+    zeros = jnp.zeros(
+        (cfg.decoder_layers, b, capacity, h, hd), compute_dtype
+    )
+    return KVCache(
+        zeros, zeros,
+        cross_k.astype(compute_dtype), cross_v.astype(compute_dtype),
+        jnp.zeros((), jnp.int32),
+    )
+
+
+def decode(
+    params: Params,
+    cfg: WhisperConfig,
+    input_ids: jax.Array,
+    encoder_out: jax.Array | None = None,
+    cache: KVCache | None = None,
+    *,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "xla",
+    remat: bool = False,
+):
+    """Decoder forward.
+
+    Training/prefill mode (cache=None): full causal self-attention over
+    input_ids (B, T) against encoder_out; returns logits (B, T, vocab).
+
+    Incremental mode (cache given): input_ids is the next token block
+    (B, T_new); self-attention attends to cache[0:length+T_new]; returns
+    (logits, updated_cache).
+    """
+    dec = params["decoder"]
+    n_heads = cfg.decoder_attention_heads
+    b, t = input_ids.shape
+
+    x = dec["embed_tokens"]["embedding"].astype(compute_dtype)[input_ids]
+    pos0 = cache.length if cache is not None else 0
+    positions = jax.lax.dynamic_slice_in_dim(
+        dec["pos_embedding"].astype(compute_dtype), pos0, t, axis=0
+    )
+    x = x + positions[None]
+
+    if cache is None:
+        assert encoder_out is not None
+
+        def block(x, lp):
+            h = layer_norm(lp["self_attn_layer_norm"], x, cfg.layer_norm_eps)
+            x = x + mha(lp["self_attn"], h, h, n_heads, causal=True, impl=attn_impl)
+            h = layer_norm(lp["encoder_attn_layer_norm"], x, cfg.layer_norm_eps)
+            x = x + mha(
+                lp["encoder_attn"], h, encoder_out.astype(compute_dtype),
+                n_heads, impl=attn_impl,
+            )
+            h = layer_norm(lp["final_layer_norm"], x, cfg.layer_norm_eps)
+            h = jax.nn.gelu(dense(lp["fc1"], h), approximate=False)
+            x = x + dense(lp["fc2"], h)
+            return x, None
+
+        if remat:
+            block = jax.checkpoint(block)
+        x, _ = jax.lax.scan(block, x, dec["layers"])
+        x = layer_norm(dec["layer_norm"], x, cfg.layer_norm_eps)
+        logits = jnp.einsum(
+            "btd,vd->btv", x,
+            dec["embed_tokens"]["embedding"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits
+
+    # ---- incremental decode with fixed-capacity cache ----
+    capacity = cache.self_k.shape[2]
+    # Token i of the new block (global position length+i) may attend to
+    # cache slots 0..length+i — causal within the block, full over history.
+    kv_mask = (
+        jnp.arange(capacity)[None, :]
+        <= cache.length + jnp.arange(t)[:, None]
+    )[None, None]  # (1, 1, t, capacity)
+
+    def block(x, layer_in):
+        lp, self_k, self_v, cross_k, cross_v = layer_in
+        h = layer_norm(lp["self_attn_layer_norm"], x, cfg.layer_norm_eps)
+        q = split_heads(dense(lp["self_attn"]["q_proj"], h), n_heads)
+        k_new = split_heads(dense(lp["self_attn"]["k_proj"], h), n_heads)
+        v_new = split_heads(dense(lp["self_attn"]["v_proj"], h), n_heads)
+        self_k = jax.lax.dynamic_update_slice_in_dim(
+            self_k, k_new.astype(self_k.dtype), cache.length, axis=1
+        )
+        self_v = jax.lax.dynamic_update_slice_in_dim(
+            self_v, v_new.astype(self_v.dtype), cache.length, axis=1
+        )
+        o = attention(q, self_k, self_v, kv_mask)
+        x = x + dense(lp["self_attn"]["out_proj"], merge_heads(o))
+
+        h = layer_norm(lp["encoder_attn_layer_norm"], x, cfg.layer_norm_eps)
+        q = split_heads(dense(lp["encoder_attn"]["q_proj"], h), n_heads)
+        o = attention(q, cross_k, cross_v)
+        x = x + dense(lp["encoder_attn"]["out_proj"], merge_heads(o))
+
+        h = layer_norm(lp["final_layer_norm"], x, cfg.layer_norm_eps)
+        h = jax.nn.gelu(dense(lp["fc1"], h), approximate=False)
+        x = x + dense(lp["fc2"], h)
+        return x, (self_k, self_v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, x,
+        (dec["layers"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
+    )
+    x = layer_norm(dec["layer_norm"], x, cfg.layer_norm_eps)
+    logits = jnp.einsum(
+        "btd,vd->btv", x,
+        dec["embed_tokens"]["embedding"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    new_cache = KVCache(new_k, new_v, cache.cross_k, cache.cross_v, cache.length + t)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full forward + CE loss (reference: HF forward(labels=...) with -100 mask)
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: Params,
+    cfg: WhisperConfig,
+    input_features: jax.Array,
+    decoder_input_ids: jax.Array,
+    *,
+    encoder_out: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "xla",
+    remat: bool = False,
+):
+    """Returns (logits, encoder_out)."""
+    if encoder_out is None:
+        encoder_out = encode(
+            params, cfg, input_features,
+            compute_dtype=compute_dtype, attn_impl=attn_impl, remat=remat,
+        )
+    logits = decode(
+        params, cfg, decoder_input_ids, encoder_out,
+        compute_dtype=compute_dtype, attn_impl=attn_impl, remat=remat,
+    )
+    return logits, encoder_out
+
+
+def ce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Token-mean cross-entropy with -100 ignore mask (HF semantics,
+    run_distillation.py:628-639)."""
+    mask = labels != -100
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def shift_labels_right(
+    labels: jax.Array, decoder_start: int, pad_id: int = 50256
+) -> jax.Array:
+    """labels (with -100 pads) -> decoder_input_ids (collator semantics,
+    run_distillation.py:254-271): prepend start token, drop last, replace
+    -100 with pad so embeds are valid (the positions are loss-masked)."""
+    shifted = jnp.concatenate(
+        [jnp.full((labels.shape[0], 1), decoder_start, labels.dtype), labels[:, :-1]],
+        axis=1,
+    )
+    return jnp.where(shifted == -100, pad_id, shifted)

@@ -1,0 +1,62 @@
+"""Golden tests: log-mel frontend vs HF WhisperFeatureExtractor.
+
+The HF extractor is constructed offline (no hub access) purely as a numeric
+oracle for the behavior the reference invokes at run_pseudo_labelling.py:268.
+"""
+import numpy as np
+import pytest
+
+from kotoba_whisper_tpu.core.config import FeatureConfig
+from kotoba_whisper_tpu.ops.mel import (
+    log_mel_spectrogram,
+    mel_filterbank,
+    pad_or_trim,
+)
+
+
+def _hf_extractor(n_mels):
+    trf = pytest.importorskip("transformers")
+    return trf.WhisperFeatureExtractor(feature_size=n_mels)
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_filterbank_matches_hf(n_mels):
+    hf = _hf_extractor(n_mels)
+    ours = mel_filterbank(201, n_mels, 16000, 0.0, 8000.0)
+    np.testing.assert_allclose(ours, hf.mel_filters, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_log_mel_matches_hf(rng, n_mels):
+    hf = _hf_extractor(n_mels)
+    cfg = FeatureConfig(n_mels=n_mels)
+    # 7.3 s of noise-ish audio with structure, padded to 30 s
+    t = np.linspace(0, 7.3, int(16000 * 7.3), dtype=np.float32)
+    audio = (
+        0.3 * np.sin(2 * np.pi * 440 * t)
+        + 0.1 * np.sin(2 * np.pi * 1333 * t)
+        + 0.05 * rng.standard_normal(t.shape)
+    ).astype(np.float32)
+
+    golden = hf(audio, sampling_rate=16000, return_tensors="np")["input_features"][0]
+    ours = np.asarray(
+        log_mel_spectrogram(pad_or_trim(audio[None], cfg.n_samples), cfg)
+    )[0]
+    assert ours.shape == golden.shape == (n_mels, 3000)
+    np.testing.assert_allclose(ours, golden, atol=2e-4)
+
+
+def test_log_mel_batch_independence(rng):
+    cfg = FeatureConfig()
+    a = rng.standard_normal((2, cfg.n_samples)).astype(np.float32)
+    batched = np.asarray(log_mel_spectrogram(a, cfg))
+    single0 = np.asarray(log_mel_spectrogram(a[:1], cfg))[0]
+    np.testing.assert_allclose(batched[0], single0, atol=1e-6)
+
+
+def test_pad_or_trim():
+    cfg = FeatureConfig()
+    short = np.ones((1, 100), np.float32)
+    assert pad_or_trim(short, cfg.n_samples).shape == (1, cfg.n_samples)
+    long = np.ones((1, cfg.n_samples + 5), np.float32)
+    assert pad_or_trim(long, cfg.n_samples).shape == (1, cfg.n_samples)
