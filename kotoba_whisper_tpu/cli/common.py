@@ -1,0 +1,81 @@
+"""Shared CLI plumbing: model/tokenizer loading and the local dataset
+interchange formats.
+
+Stage artifacts (the reference uses the HF Hub as its data bus,
+SURVEY.md §1 L7; this framework uses local files, hub-agnostic):
+  - pseudo labels: `pseudo_labels.jsonl` rows
+      {"name", "transcription", "whisper_transcript": [token ids]}
+    plus a CSV dump mirroring run_pseudo_labelling.py:347-350;
+  - filtered training set: `filtered.jsonl` rows {"name", "labels": [ids]}
+    and `features.npz` with input_features (N, n_mels, 3000) — the
+    `.vectorized` equivalent (run_data_filtering.py:335-356).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterator
+
+import numpy as np
+
+from kotoba_whisper_tpu.core.config import PRESETS, WhisperConfig
+from kotoba_whisper_tpu.tokenizer.whisper_tokenizer import WhisperTokenizer
+
+
+def load_tokenizer(spec: str) -> WhisperTokenizer:
+    """'byte' | 'byte:<vocab_size>' | path to dir with vocab.json+merges.txt."""
+    if spec == "byte":
+        return WhisperTokenizer.byte_vocab()
+    if spec.startswith("byte:"):
+        return WhisperTokenizer.byte_vocab(int(spec.split(":", 1)[1]))
+    n_langs = 100 if "v3" in spec else 99
+    return WhisperTokenizer.from_pretrained_dir(spec)
+
+
+def load_model(spec: str, seed: int = 0):
+    """'preset:<name>' (random init) or a checkpoint dir (HF layout)."""
+    import jax
+
+    from kotoba_whisper_tpu.models import whisper
+
+    if spec.startswith("preset:"):
+        cfg = PRESETS[spec.split(":", 1)[1]]
+        return whisper.init_params(jax.random.key(seed), cfg), cfg
+    from kotoba_whisper_tpu.train.checkpoint import import_hf_model
+
+    return import_hf_model(spec)
+
+
+def write_jsonl(path: str, rows: Iterator[dict[str, Any]]) -> int:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    n = 0
+    with open(path, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+            n += 1
+    return n
+
+
+def read_jsonl(path: str) -> list[dict[str, Any]]:
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def batched(seq, n):
+    batch = []
+    for item in seq:
+        batch.append(item)
+        if len(batch) == n:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def pad_batch(rows: list[np.ndarray], batch_size: int) -> tuple[np.ndarray, int]:
+    """Pad a final partial batch by repeating the last row (static shapes
+    for jit); returns (array, n_real)."""
+    n_real = len(rows)
+    while len(rows) < batch_size:
+        rows.append(rows[-1])
+    return np.stack(rows), n_real

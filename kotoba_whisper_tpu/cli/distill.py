@@ -1,0 +1,182 @@
+"""Stage-5 driver: distillation training.
+
+Counterpart of run_distillation.py (call stack SURVEY.md §3.2): loads the
+vectorized dataset (features.npz + filtered.jsonl), builds the pjit-sharded
+CE+KL train step (train/distill.py), runs epochs with shuffling, gradient
+accumulation, checkpoint save/rotate/resume, and metric logging with the
+reference's metric names (train/loss|ce_loss|kl_loss|learning_rate|time).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_dir", required=True,
+                    help="dir with features.npz + filtered.jsonl")
+    ap.add_argument("--student", required=True)
+    ap.add_argument("--teacher", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--tokenizer", default="byte")
+    ap.add_argument("--per_device_train_batch_size", type=int, default=8)
+    ap.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--warmup_steps", type=int, default=500)
+    ap.add_argument("--lr_scheduler_type", default="constant_with_warmup")
+    ap.add_argument("--num_train_epochs", type=int, default=1)
+    ap.add_argument("--max_steps", type=int, default=-1)
+    ap.add_argument("--max_label_length", type=int, default=128)
+    ap.add_argument("--temperature", type=float, default=2.0)
+    ap.add_argument("--kl_weight", type=float, default=1.0)
+    ap.add_argument("--freeze_encoder", action="store_true", default=True)
+    ap.add_argument("--no_freeze_encoder", dest="freeze_encoder",
+                    action="store_false")
+    ap.add_argument("--save_steps", type=int, default=500)
+    ap.add_argument("--save_total_limit", type=int, default=1)
+    ap.add_argument("--logging_steps", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--mesh_model_axis", type=int, default=1)
+    ap.add_argument("--num_devices", type=int, default=None,
+                    help="restrict the mesh to the first N devices")
+    ap.add_argument("--resume_from_checkpoint", action="store_true", default=True)
+    ap.add_argument("--wandb_project", default=None)
+    arg = ap.parse_args(argv)
+
+    import jax
+
+    from kotoba_whisper_tpu.utils.backend import ensure_backend
+
+    ensure_backend()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kotoba_whisper_tpu.cli import common
+    from kotoba_whisper_tpu.core.mesh import MeshConfig, build_mesh
+    from kotoba_whisper_tpu.data.collator import CollatorConfig, collate_labels
+    from kotoba_whisper_tpu.models import whisper
+    from kotoba_whisper_tpu.parallel import sharded
+    from kotoba_whisper_tpu.train import checkpoint, distill, optim
+    from kotoba_whisper_tpu.train.logging import MetricLogger
+
+    # data
+    rows = common.read_jsonl(f"{arg.data_dir}/filtered.jsonl")
+    feats = np.load(f"{arg.data_dir}/features.npz")["input_features"]
+    assert len(rows) == feats.shape[0], "labels/features misaligned"
+    tok = common.load_tokenizer(arg.tokenizer)
+
+    student, s_cfg = common.load_model(arg.student)
+    teacher, t_cfg = common.load_model(arg.teacher)
+    compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
+    teacher = jax.tree.map(lambda x: x.astype(compute_dtype), teacher)
+
+    devices = jax.devices()
+    if arg.num_devices is not None:
+        devices = devices[: arg.num_devices]
+    mesh = build_mesh(MeshConfig(data=-1, model=arg.mesh_model_axis), devices)
+    n_data = mesh.shape["data"]
+    global_batch = arg.per_device_train_batch_size * n_data
+    if len(rows) < global_batch:
+        raise SystemExit(
+            f"dataset has {len(rows)} rows < global batch {global_batch} "
+            f"({arg.per_device_train_batch_size}/device x {n_data} data-"
+            f"parallel devices); shrink the batch or --num_devices"
+        )
+
+    dc = distill.DistillConfig(
+        kl_weight=arg.kl_weight,
+        temperature=arg.temperature,
+        freeze_encoder=arg.freeze_encoder,
+        share_hidden_states=arg.freeze_encoder
+        and s_cfg.d_model == t_cfg.d_model,
+        num_microbatches=arg.gradient_accumulation_steps,
+        compute_dtype=compute_dtype,
+    )
+    tx, sched = optim.make_optimizer(
+        student,
+        lr=arg.learning_rate,
+        warmup_steps=arg.warmup_steps,
+        schedule=arg.lr_scheduler_type,
+        total_steps=arg.max_steps if arg.max_steps > 0 else None,
+    )
+    state = distill.init_train_state(student, tx)
+    step_fn = distill.jit_train_step(
+        distill.make_train_step(s_cfg, t_cfg, dc, tx, sched)
+    )
+
+    # resume
+    start_epoch = 0
+    resumed_step = 0
+    last = checkpoint.get_last_checkpoint(arg.output_dir)
+    if arg.resume_from_checkpoint and last is not None:
+        path, resumed_step, start_epoch = last
+        state = checkpoint.load_train_state(path, state)
+        print(f"resumed from {path} (step {resumed_step}, epoch {start_epoch})")
+
+    with mesh:
+        teacher = sharded.place_params(
+            mesh, teacher, model_sharded=arg.mesh_model_axis > 1
+        )
+        state = distill.TrainState(
+            sharded.place_params(mesh, state.params),
+            sharded.replicate(mesh, state.opt_state),
+            sharded.replicate(mesh, state.step),
+        )
+
+        logger = MetricLogger(arg.output_dir, wandb_project=arg.wandb_project)
+        ccfg = CollatorConfig(
+            max_target_length=arg.max_label_length,
+            decoder_start_token_id=s_cfg.decoder_start_token_id,
+            pad_token_id=s_cfg.pad_token_id,
+        )
+        rng = np.random.default_rng(arg.seed)
+        step = int(state.step)
+        t_last = time.time()
+        done = False
+        for epoch in range(start_epoch, arg.num_train_epochs):
+            order = rng.permutation(len(rows))
+            for lo in range(0, len(order) - global_batch + 1, global_batch):
+                idx = order[lo : lo + global_batch]
+                lab = collate_labels([rows[i]["labels"] for i in idx], ccfg)
+                batch = sharded.place_batch(
+                    mesh,
+                    {
+                        "input_features": jnp.asarray(feats[idx], compute_dtype),
+                        "labels": jnp.asarray(lab["labels"]),
+                        "decoder_input_ids": jnp.asarray(lab["decoder_input_ids"]),
+                    },
+                )
+                state, metrics = step_fn(state, teacher, batch)
+                step += 1
+                if step % arg.logging_steps == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["epoch"] = epoch
+                    metrics["time"] = time.time() - t_last
+                    t_last = time.time()
+                    logger.log(metrics, step)
+                    print(f"step {step}: " + ", ".join(
+                        f"{k}={v:.4g}" for k, v in metrics.items()))
+                if step % arg.save_steps == 0:
+                    checkpoint.save_train_state(
+                        arg.output_dir, state, epoch, arg.save_total_limit
+                    )
+                if arg.max_steps > 0 and step >= arg.max_steps:
+                    done = True
+                    break
+            if done:
+                break
+
+        checkpoint.save_train_state(
+            arg.output_dir, state, epoch, arg.save_total_limit
+        )
+        checkpoint.export_hf_model(
+            f"{arg.output_dir}/final", jax.device_get(state.params), s_cfg
+        )
+        logger.close()
+        print(f"training done at step {step}; model exported to {arg.output_dir}/final")
+
+
+if __name__ == "__main__":
+    main()

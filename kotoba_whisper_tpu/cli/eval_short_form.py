@@ -1,0 +1,75 @@
+"""Stage-6 driver: short-form CER/WER evaluation.
+
+Counterpart of run_short_form_eval.py: loads an eval set (tar shards + TSV
+transcripts), runs the chunked ASR pipeline, and writes prediction CSVs +
+metric JSONL records (eval/shortform.py owns the schema).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--tokenizer", default="byte")
+    ap.add_argument("--dataset_dir", required=True)
+    ap.add_argument("--dataset_name", default=None)
+    ap.add_argument("--language", default="ja")
+    ap.add_argument("--task", default="transcribe")
+    ap.add_argument("--chunk_length_s", type=float, default=15.0)
+    ap.add_argument("--num_beams", type=int, default=1)
+    ap.add_argument("--output_dir", default="eval_pipeline")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--limit", type=int, default=None)
+    arg = ap.parse_args(argv)
+
+    import jax
+
+    from kotoba_whisper_tpu.utils.backend import ensure_backend
+
+    ensure_backend()
+    import jax.numpy as jnp
+
+    from kotoba_whisper_tpu.cli import common
+    from kotoba_whisper_tpu.data import reazon
+    from kotoba_whisper_tpu.decode.pipeline import AsrPipeline
+    from kotoba_whisper_tpu.eval.shortform import EvalExample, evaluate_short_form
+    from kotoba_whisper_tpu.utils import native
+
+    tok = common.load_tokenizer(arg.tokenizer)
+    params, cfg = common.load_model(arg.model)
+    compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+
+    pipe = AsrPipeline(
+        params=params, cfg=cfg, tok=tok,
+        language=arg.language, task=arg.task,
+        chunk_length_s=arg.chunk_length_s, num_beams=arg.num_beams,
+        compute_dtype=compute_dtype,
+        attn_impl="pallas" if jax.default_backend() == "tpu" else "xla",
+    )
+
+    examples = []
+    for u in reazon.iter_dataset_dir(arg.dataset_dir):
+        if u.transcription is None:
+            continue
+        audio, _ = native.decode_audio(u.audio_bytes, 16000)
+        examples.append(EvalExample(audio, u.transcription, u.name))
+        if arg.limit is not None and len(examples) >= arg.limit:
+            break
+
+    record = evaluate_short_form(
+        examples,
+        pipe.transcribe,
+        model_name=arg.model,
+        dataset_name=arg.dataset_name or arg.dataset_dir,
+        language=arg.language,
+        task=arg.task,
+        output_dir=arg.output_dir,
+    )
+    print(record)
+
+
+if __name__ == "__main__":
+    main()

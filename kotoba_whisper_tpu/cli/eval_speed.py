@@ -1,0 +1,59 @@
+"""Stage-6 driver: latency benchmark on deterministic dummy audio.
+
+Counterpart of run_speed_eval.py: durations x attention implementations,
+mean/std over trials with warmup discard, appended to
+eval_pipeline/runtime_pipeline.jsonl.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--tokenizer", default="byte")
+    ap.add_argument("--durations", default="10,30,60,300")
+    ap.add_argument("--n_trials", type=int, default=5)
+    ap.add_argument("--chunk_length_s", type=float, default=15.0)
+    ap.add_argument("--attn", default=None, choices=[None, "xla", "pallas"])
+    ap.add_argument("--output", default="eval_pipeline/runtime_pipeline.jsonl")
+    ap.add_argument("--dtype", default="bfloat16")
+    arg = ap.parse_args(argv)
+
+    import jax
+
+    from kotoba_whisper_tpu.utils.backend import ensure_backend
+
+    ensure_backend()
+    import jax.numpy as jnp
+
+    from kotoba_whisper_tpu.cli import common
+    from kotoba_whisper_tpu.decode.pipeline import AsrPipeline
+    from kotoba_whisper_tpu.eval.speed import evaluate_speed
+
+    tok = common.load_tokenizer(arg.tokenizer)
+    params, cfg = common.load_model(arg.model)
+    compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+    attn = arg.attn or ("pallas" if jax.default_backend() == "tpu" else "xla")
+
+    pipe = AsrPipeline(
+        params=params, cfg=cfg, tok=tok,
+        chunk_length_s=arg.chunk_length_s, compute_dtype=compute_dtype,
+        attn_impl=attn,
+    )
+    records = evaluate_speed(
+        pipe.transcribe,
+        model_name=arg.model,
+        durations=[float(d) for d in arg.durations.split(",")],
+        n_trials=arg.n_trials,
+        output_path=arg.output,
+        attn_impl=attn,
+    )
+    for r in records:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

@@ -180,6 +180,25 @@ PRESETS: dict[str, WhisperConfig] = {
         decoder_layers=2
     ),
     "distil-large-v2": _preset(80, 1280, 32, 20).replace(decoder_layers=2),
+    # test-sized config matching WhisperTokenizer.byte_vocab()'s id layout
+    # (256 byte text tokens + whisper specials + 1501 timestamps = 1864)
+    "test-byte": WhisperConfig(
+        vocab_size=1864,
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=128,
+        decoder_ffn_dim=128,
+        max_source_positions=1500,
+        max_target_positions=448,
+        pad_token_id=255,
+        bos_token_id=256,
+        eos_token_id=256,
+        decoder_start_token_id=257,
+    ),
     # test-sized config: tiny dims, full token layout semantics
     "test-tiny": WhisperConfig(
         vocab_size=51865,

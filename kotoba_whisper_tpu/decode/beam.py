@@ -1,0 +1,222 @@
+"""Beam-search generation with KV cache, static shapes, lax.while_loop.
+
+TPU-native equivalent of `generate(num_beams=N)` at
+run_pseudo_labelling.py:302-311,338. The algorithm is the standard
+flatten-and-regrow beam search (the same family HF's BeamSearchScorer
+implements): each step scores all beams, takes the top 2K candidates over
+the flattened (K*V) space, routes emitted <|endoftext|> candidates into a
+finished set scored with length penalty, and keeps the best K unfinished
+beams alive. Termination: all batch rows are done when the best possible
+alive score can no longer beat the worst finished score (early_stopping=False
+semantics), or max_length is reached.
+
+Layout notes (TPU-first):
+  - beams live in the batch axis: (B, K, ...) flattened to (B*K, ...) for
+    the model step, so the decoder kernel is identical to greedy;
+  - beam reorder = one gather on the cache's batch axis — when the model is
+    sharded over the mesh's model axis this gather stays local because the
+    cache batch axis is sharded on data only;
+  - timestamp/suppress rules (decode/logits_rules.py) are applied per beam
+    before scoring, exactly as in greedy.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from kotoba_whisper_tpu.core.config import SpecialTokens, WhisperConfig
+from kotoba_whisper_tpu.decode.greedy import GenerateOptions
+from kotoba_whisper_tpu.decode.logits_rules import apply_rules
+from kotoba_whisper_tpu.models import whisper
+
+NEG_INF = -1.0e7  # finite sentinel: keeps masked lanes orderable
+
+
+def _flatten_beams(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflatten_beams(x, b, k):
+    return x.reshape((b, k) + x.shape[1:])
+
+
+def _gather_beams(x, beam_indices, b):
+    """x: (B, K_old, ...), beam_indices: (B, K_new) -> (B, K_new, ...)."""
+    return jax.vmap(lambda rows, idx: rows[idx])(x, beam_indices)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "opts", "special", "num_beams", "compute_dtype", "attn_impl"
+    ),
+)
+def generate_beam(
+    params,
+    cfg: WhisperConfig,
+    input_features: jax.Array,
+    opts: GenerateOptions,
+    special: SpecialTokens,
+    num_beams: int = 5,
+    length_penalty: float = 1.0,
+    *,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "xla",
+) -> tuple[jax.Array, jax.Array]:
+    """(B, n_mels, T) -> (tokens (B, max_length), scores (B,)).
+
+    Returns the best hypothesis per row (finished if any finished, else the
+    best alive beam), with its length-penalized log-prob score.
+    """
+    b = input_features.shape[0]
+    k = num_beams
+    p = len(opts.prompt_ids)
+    max_len = opts.max_length
+    rc = opts.rule_config(special)
+    pad = cfg.pad_token_id
+    eot = special.eot
+
+    encoder_out = whisper.encode(
+        params, cfg, input_features,
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+    )
+    # expand encoder states over beams: (B, K, T, D) -> (B*K, T, D)
+    enc_beams = _flatten_beams(
+        jnp.broadcast_to(
+            encoder_out[:, None], (b, k) + encoder_out.shape[1:]
+        )
+    )
+    cache = whisper.init_cache(
+        params, cfg, enc_beams, capacity=max_len, compute_dtype=compute_dtype
+    )
+
+    tokens = jnp.full((b, k, max_len), pad, jnp.int32)
+    tokens = tokens.at[:, :, :p].set(jnp.asarray(opts.prompt_ids, jnp.int32))
+
+    if p > 1:
+        _, cache = whisper.decode(
+            params, cfg, _flatten_beams(tokens)[:, : p - 1], cache=cache,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
+
+    # only beam 0 is live initially (all beams identical -> avoid dup hyps)
+    alive_logp = jnp.tile(
+        jnp.asarray([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1)
+    )
+    fin_tokens = jnp.full((b, k, max_len), pad, jnp.int32)
+    fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+    fin_exists = jnp.zeros((b, k), bool)
+
+    def length_pen(cur_len):
+        # HF: score = sum_logprobs / (generated_len ** penalty); generated
+        # length counts tokens after the prompt, including eot
+        gen_len = (cur_len + 1 - p).astype(jnp.float32)
+        return jnp.maximum(gen_len, 1.0) ** length_penalty
+
+    def cond(state):
+        tokens, cache, alive_logp, fins, cur_len = state
+        fin_tokens, fin_scores, fin_exists = fins
+        # best achievable alive score (optimistic: max-length penalty) vs
+        # worst kept finished score — early_stopping=False semantics
+        best_alive = jnp.max(alive_logp, axis=1) / length_pen(
+            jnp.asarray(max_len - 1)
+        )
+        worst_fin = jnp.min(
+            jnp.where(fin_exists, fin_scores, NEG_INF), axis=1
+        )
+        done = jnp.all(fin_exists, axis=1) & (worst_fin >= best_alive)
+        return (cur_len < max_len) & ~jnp.all(done)
+
+    def body(state):
+        tokens, cache, alive_logp, fins, cur_len = state
+        fin_tokens, fin_scores, fin_exists = fins
+
+        flat_tokens = _flatten_beams(tokens)
+        last = jax.lax.dynamic_slice_in_dim(flat_tokens, cur_len - 1, 1, axis=1)
+        logits, new_cache = whisper.decode(
+            params, cfg, last, cache=cache,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
+        masked = apply_rules(
+            logits[:, 0].astype(jnp.float32), flat_tokens, cur_len, rc
+        )
+        logp = jax.nn.log_softmax(masked, axis=-1)  # (B*K, V)
+        v = logp.shape[-1]
+        logp = _unflatten_beams(logp, b, k) + alive_logp[..., None]
+
+        # top 2K over flattened beam*vocab
+        flat = logp.reshape(b, k * v)
+        top_logp, top_idx = jax.lax.top_k(flat, 2 * k)
+        top_beam = top_idx // v          # (B, 2K)
+        top_tok = top_idx % v
+
+        # grow candidate sequences
+        cand_tokens = _gather_beams(tokens, top_beam, b)  # (B, 2K, L)
+        cand_tokens = jax.lax.dynamic_update_slice_in_dim(
+            cand_tokens, top_tok[..., None].astype(jnp.int32), cur_len, axis=2
+        )
+        is_eot = top_tok == eot
+
+        # --- finished set update ---
+        cand_fin_scores = top_logp / length_pen(cur_len)
+        cand_fin_scores = jnp.where(is_eot, cand_fin_scores, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=1)
+        all_fin_exists = jnp.concatenate([fin_exists, is_eot], axis=1)
+        fin_top, fin_idx = jax.lax.top_k(all_fin_scores, k)
+        fin_tokens = _gather_beams(all_fin_tokens, fin_idx, b)
+        fin_scores = fin_top
+        fin_exists = jnp.take_along_axis(all_fin_exists, fin_idx, axis=1)
+
+        # --- alive set update: best K non-eot candidates ---
+        alive_cand = jnp.where(is_eot, NEG_INF, top_logp)
+        alive_top, alive_idx = jax.lax.top_k(alive_cand, k)
+        new_tokens = _gather_beams(cand_tokens, alive_idx, b)
+        alive_beam = jnp.take_along_axis(top_beam, alive_idx, axis=1)
+
+        # reorder cache to the selected beams' histories (gather on the
+        # flattened batch*beam axis)
+        flat_beam_index = (
+            alive_beam + jnp.arange(b)[:, None] * k
+        ).reshape(-1)
+        new_cache = whisper.KVCache(
+            new_cache.self_k[:, flat_beam_index],
+            new_cache.self_v[:, flat_beam_index],
+            new_cache.cross_k,
+            new_cache.cross_v,
+            new_cache.length,
+        )
+        return (
+            new_tokens,
+            new_cache,
+            alive_top,
+            (fin_tokens, fin_scores, fin_exists),
+            cur_len + 1,
+        )
+
+    state = (
+        tokens, cache, alive_logp,
+        (fin_tokens, fin_scores, fin_exists),
+        jnp.asarray(p, jnp.int32),
+    )
+    tokens, _, alive_logp, fins, cur_len = jax.lax.while_loop(cond, body, state)
+    fin_tokens, fin_scores, fin_exists = fins
+
+    # fall back to best alive beam when a row never finished
+    any_fin = jnp.any(fin_exists, axis=1)
+    best_fin = jnp.argmax(fin_scores, axis=1)
+    best_alive_idx = jnp.argmax(alive_logp, axis=1)
+    alive_scores = alive_logp / length_pen(cur_len - 1)
+    out_tokens = jnp.where(
+        any_fin[:, None],
+        jnp.take_along_axis(fin_tokens, best_fin[:, None, None], axis=1)[:, 0],
+        jnp.take_along_axis(tokens, best_alive_idx[:, None, None], axis=1)[:, 0],
+    )
+    out_scores = jnp.where(
+        any_fin,
+        jnp.take_along_axis(fin_scores, best_fin[:, None], axis=1)[:, 0],
+        jnp.take_along_axis(alive_scores, best_alive_idx[:, None], axis=1)[:, 0],
+    )
+    return out_tokens, out_scores

@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Recipe: kotoba-whisper v2.0-style full pipeline on ReazonSpeech `all`.
+#
+# Mirrors script/distil_whisper_v2.0.sh's structure (chunked pseudo-label
+# with next-chunk prefetch, WER-10 filter, student init, 8-epoch training,
+# ja eval) on this framework's CLI. The reference pipelines chunk N+1
+# download/CPU-preprocess against chunk N GPU labelling (:72-84); here the
+# audio decode+mel run on-device, so the overlap is tar-read prefetch inside
+# the driver (parallel/multihost.py interleave_prefetch).
+set -euo pipefail
+
+DATA_DIR=${DATA_DIR:-/data/reazonspeech}   # tar shards + transcript.tsv
+WORK=${WORK:-work/v2.0}
+TEACHER=${TEACHER:-/models/whisper-large-v3}   # HF-layout checkpoint dir
+TOKENIZER=${TOKENIZER:-/models/whisper-large-v3}  # vocab.json + merges.txt
+N_CHUNKS=${N_CHUNKS:-82}
+CHUNK_TARS=${CHUNK_TARS:-50}
+EPOCHS=${EPOCHS:-8}
+WER_THRESHOLD=${WER_THRESHOLD:-10}
+
+mkdir -p "$WORK"
+
+# ---- stage 2+3: chunked pseudo-label + filter (idempotent per chunk) ----
+for i in $(seq 0 $((N_CHUNKS - 1))); do
+  LO=$((i * CHUNK_TARS)); HI=$(((i + 1) * CHUNK_TARS))
+  OUT="$WORK/chunk_$i"
+  [ -f "$OUT/filtered/filtered.jsonl" ] && continue   # re-run safe
+  python -m kotoba_whisper_tpu.cli.pseudo_label \
+    --dataset_dir "$DATA_DIR" --output_dir "$OUT/labels" \
+    --model "$TEACHER" --tokenizer "$TOKENIZER" \
+    --language ja --task transcribe \
+    --batch_size 32 --chunk_lo "$LO" --chunk_hi "$HI"
+  python -m kotoba_whisper_tpu.cli.data_filter \
+    --dataset_dir "$DATA_DIR" --labels "$OUT/labels/pseudo_labels.jsonl" \
+    --output_dir "$OUT/filtered" --tokenizer "$TOKENIZER" \
+    --language ja --wer_threshold "$WER_THRESHOLD" \
+    --timestamp_probability 0.2 --condition_on_prev_probability 0.2
+done
+
+# ---- stage 4: student init (2-layer decoder, v2.0 architecture) ----
+python -m kotoba_whisper_tpu.cli.create_student \
+  --teacher "$TEACHER" --save_dir "$WORK/student_init" --decoder_layers 2
+
+# ---- stage 5: distillation, 8 epochs, constant+warmup-500, bf16 ----
+python -m kotoba_whisper_tpu.cli.distill \
+  --data_dir "$WORK/chunk_0/filtered" \
+  --student "$WORK/student_init" --teacher "$TEACHER" \
+  --tokenizer "$TOKENIZER" --output_dir "$WORK/distilled" \
+  --per_device_train_batch_size 32 --learning_rate 1e-4 \
+  --warmup_steps 500 --num_train_epochs "$EPOCHS" \
+  --save_steps 500 --save_total_limit 1 --dtype bfloat16
+
+# ---- stage 6: ja eval suite ----
+for ds in common_voice_8_0 jsut_basic5000 reazonspeech_test; do
+  [ -d "$DATA_DIR/../$ds" ] || continue
+  python -m kotoba_whisper_tpu.cli.eval_short_form \
+    --model "$WORK/distilled/final" --tokenizer "$TOKENIZER" \
+    --dataset_dir "$DATA_DIR/../$ds" --dataset_name "$ds" --language ja
+done

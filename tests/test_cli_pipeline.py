@@ -1,0 +1,179 @@
+"""End-to-end CLI pipeline test: all five stage drivers chained on a
+synthetic ReazonSpeech-style dataset, mirroring the reference's
+orchestrated recipe (script/distil_whisper_v2.0.sh flow, SURVEY.md §3.5)."""
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from kotoba_whisper_tpu.data import reazon
+
+
+def _wav_bytes(audio, sr=16000):
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+            sr, sr * 2, 2, 16, b"data", len(pcm),
+        )
+        + pcm
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("reazon")
+    utts = [
+        (f"000/utt{i}.wav", _wav_bytes(rng.standard_normal(8000) * 0.1))
+        for i in range(6)
+    ]
+    reazon.write_tar_shard(str(d / "000.tar"), utts)
+    (d / "transcript.tsv").write_text(
+        "\n".join(f"000/utt{i}.wav\tutterance number {i}" for i in range(6)),
+        encoding="utf-8",
+    )
+    return str(d)
+
+
+@pytest.mark.slow
+def test_full_pipeline(dataset_dir, tmp_path):
+    from kotoba_whisper_tpu.cli import (
+        create_student,
+        data_filter,
+        distill,
+        eval_short_form,
+        eval_speed,
+        pseudo_label,
+    )
+
+    out = str(tmp_path)
+
+    # stage 2: pseudo-label
+    pseudo_label.main([
+        "--dataset_dir", dataset_dir,
+        "--output_dir", f"{out}/labels",
+        "--model", "preset:test-byte",
+        "--tokenizer", "byte",
+        "--batch_size", "3",
+        "--max_label_length", "24",
+        "--dtype", "float32",
+    ])
+    rows = [json.loads(l) for l in open(f"{out}/labels/pseudo_labels.jsonl")]
+    assert len(rows) == 6
+    assert all(isinstance(r["whisper_transcript"], list) for r in rows)
+    assert os.path.exists(f"{out}/labels/pseudo_labels.csv")
+
+    # stage 3: filter (skip WER filtering — random model labels all fail it;
+    # exercise length filters + label prep + logmel vectorize)
+    data_filter.main([
+        "--dataset_dir", dataset_dir,
+        "--labels", f"{out}/labels/pseudo_labels.jsonl",
+        "--output_dir", f"{out}/filtered",
+        "--tokenizer", "byte",
+        "--skip_filtering",
+        "--max_label_length", "32",
+        "--batch_size", "3",
+    ])
+    filt = [json.loads(l) for l in open(f"{out}/filtered/filtered.jsonl")]
+    assert len(filt) == 6
+    feats = np.load(f"{out}/filtered/features.npz")["input_features"]
+    assert feats.shape == (6, 80, 3000)
+
+    # also verify the WER-filter path drops everything for random labels
+    data_filter.main([
+        "--dataset_dir", dataset_dir,
+        "--labels", f"{out}/labels/pseudo_labels.jsonl",
+        "--output_dir", f"{out}/filtered_strict",
+        "--tokenizer", "byte",
+        "--wer_threshold", "10",
+        "--skip_logmel",
+    ])
+    strict = [json.loads(l) for l in open(f"{out}/filtered_strict/filtered.jsonl")]
+    assert len(strict) == 0
+
+    # stage 4: student init
+    create_student.main([
+        "--teacher", "preset:test-byte",
+        "--save_dir", f"{out}/student_init",
+        "--decoder_layers", "1",
+    ])
+    cfg = json.load(open(f"{out}/student_init/config.json"))
+    assert cfg["decoder_layers"] == 1
+
+    # stage 5: distillation (3 steps)
+    distill.main([
+        "--data_dir", f"{out}/filtered",
+        "--student", f"{out}/student_init",
+        "--teacher", "preset:test-byte",
+        "--output_dir", f"{out}/distilled",
+        "--tokenizer", "byte",
+        "--per_device_train_batch_size", "2",
+        "--max_steps", "3",
+        "--max_label_length", "32",
+        "--warmup_steps", "1",
+        "--logging_steps", "1",
+        "--save_steps", "100",
+        "--dtype", "float32",
+        "--mesh_model_axis", "1",
+        "--num_devices", "2",
+        "--num_train_epochs", "4",
+    ])
+    assert os.path.exists(f"{out}/distilled/final/config.json")
+    metric_files = [f for f in os.listdir(f"{out}/distilled") if f.startswith("metrics")]
+    assert metric_files
+
+    # resume path: second invocation restores from the saved checkpoint
+    distill.main([
+        "--data_dir", f"{out}/filtered",
+        "--student", f"{out}/student_init",
+        "--teacher", "preset:test-byte",
+        "--output_dir", f"{out}/distilled",
+        "--tokenizer", "byte",
+        "--per_device_train_batch_size", "2",
+        "--max_steps", "4",
+        "--max_label_length", "32",
+        "--warmup_steps", "1",
+        "--logging_steps", "1",
+        "--save_steps", "100",
+        "--dtype", "float32",
+        "--num_devices", "2",
+        "--num_train_epochs", "4",
+    ])
+
+    # stage 6: short-form eval on the distilled model
+    eval_short_form.main([
+        "--model", f"{out}/distilled/final",
+        "--tokenizer", "byte",
+        "--dataset_dir", dataset_dir,
+        "--dataset_name", "synthetic_test",
+        "--output_dir", f"{out}/eval_pipeline",
+        "--dtype", "float32",
+        "--limit", "2",
+    ])
+    metric_path = f"{out}/eval_pipeline/metric.ja.transcribe.jsonl"
+    rec = json.loads(open(metric_path).read().splitlines()[-1])
+    assert {"cer_raw", "wer_raw", "cer_norm", "wer_norm"} <= set(rec)
+    # prediction cache exists and is resumable (second run hits the cache)
+    caches = [
+        f for f in os.listdir(f"{out}/eval_pipeline") if f.startswith("prediction.")
+    ]
+    assert len(caches) == 1
+
+    # speed eval (1 duration, 1 trial to keep it quick)
+    eval_speed.main([
+        "--model", f"{out}/distilled/final",
+        "--tokenizer", "byte",
+        "--durations", "2",
+        "--n_trials", "1",
+        "--output", f"{out}/eval_pipeline/runtime_pipeline.jsonl",
+        "--dtype", "float32",
+        "--attn", "xla",
+    ])
+    speed_rec = json.loads(
+        open(f"{out}/eval_pipeline/runtime_pipeline.jsonl").read().splitlines()[-1]
+    )
+    assert speed_rec["duration"] == 2.0 and speed_rec["mean"] > 0
