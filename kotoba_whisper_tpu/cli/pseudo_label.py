@@ -32,6 +32,13 @@ def main(argv=None) -> None:
     ap.add_argument("--language", default="ja")
     ap.add_argument("--task", default="transcribe",
                     choices=["transcribe", "translate"])
+    ap.add_argument(
+        "--text_lang_task", default=None,
+        help="v3 bilingual mode: comma list of lang:task pairs, e.g. "
+        "'ja:transcribe,en:translate' — each generated separately per "
+        "batch into whisper_transcript/{task}.{lang} columns "
+        "(run_pseudo_labelling_v3.py:312-321 semantics)",
+    )
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--num_beams", type=int, default=1)
     ap.add_argument("--max_label_length", type=int, default=128)
@@ -69,29 +76,44 @@ def main(argv=None) -> None:
 
     feat = FeatureConfig(n_mels=cfg.num_mel_bins)
     ccfg = CollatorConfig(n_samples=feat.n_samples)
-    prompt = tuple(tok.sot_sequence(arg.language, arg.task,
-                                    timestamps=arg.return_timestamps))
-    opts = GenerateOptions(
-        prompt_ids=prompt,
-        max_length=arg.max_label_length,
-        return_timestamps=arg.return_timestamps,
-    )
 
-    def generate(batch_audio: np.ndarray) -> np.ndarray:
+    # v1 mode: one (language, task); v3 bilingual: several, each decoded
+    # per batch with its own forced prefix
+    if arg.text_lang_task:
+        pairs = [p.split(":") for p in arg.text_lang_task.split(",")]
+        lang_tasks = [(lang, task) for lang, task in pairs]
+    else:
+        lang_tasks = [(arg.language, arg.task)]
+
+    task_opts = {
+        f"{task}.{lang}": GenerateOptions(
+            prompt_ids=tuple(
+                tok.sot_sequence(lang, task, timestamps=arg.return_timestamps)
+            ),
+            max_length=arg.max_label_length,
+            return_timestamps=arg.return_timestamps,
+        )
+        for lang, task in lang_tasks
+    }
+
+    def generate(batch_audio: np.ndarray) -> dict[str, np.ndarray]:
         mel = log_mel_spectrogram(jnp.asarray(batch_audio), feat).astype(
             compute_dtype
         )
-        if arg.num_beams > 1:
-            out, _ = generate_beam(
-                params, cfg, mel, opts, tok.special,
-                num_beams=arg.num_beams, compute_dtype=compute_dtype,
-            )
-        else:
-            out = generate_greedy(
-                params, cfg, mel, opts, tok.special,
-                compute_dtype=compute_dtype,
-            )
-        return np.asarray(out)
+        out = {}
+        for key, opts in task_opts.items():
+            if arg.num_beams > 1:
+                toks, _ = generate_beam(
+                    params, cfg, mel, opts, tok.special,
+                    num_beams=arg.num_beams, compute_dtype=compute_dtype,
+                )
+            else:
+                toks = generate_greedy(
+                    params, cfg, mel, opts, tok.special,
+                    compute_dtype=compute_dtype,
+                )
+            out[key] = np.asarray(toks)
+        return out
 
     chunk_range = (
         (arg.chunk_lo, arg.chunk_hi)
@@ -121,21 +143,32 @@ def main(argv=None) -> None:
                     wav, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
                     audio.append(wav)
                 arr = collate_audio(audio, ccfg)
-                tokens = generate(arr)
-                for u, wav, row in zip(batch, audio, tokens):
-                    ids = row.tolist()
-                    if tok.special.eot in ids:
-                        ids = ids[: ids.index(tok.special.eot) + 1]
-                    text = tok.decode(ids, skip_special_tokens=False,
-                                      decode_with_timestamps=True)
-                    writer.writerow([u.name, text])
-                    tp.add(len(wav) / feat.sampling_rate)
-                    n_done += 1
-                    yield {
+                per_task = generate(arr)
+                main_key = next(iter(task_opts))
+                for bi, (u, wav) in enumerate(zip(batch, audio)):
+                    record = {
                         "name": u.name,
                         "transcription": u.transcription,
-                        "whisper_transcript": ids,
                     }
+                    for key, toks in per_task.items():
+                        ids = toks[bi].tolist()
+                        if tok.special.eot in ids:
+                            ids = ids[: ids.index(tok.special.eot) + 1]
+                        col = (
+                            "whisper_transcript"
+                            if not arg.text_lang_task
+                            else f"whisper_transcript/{key}"
+                        )
+                        record[col] = ids
+                        if key == main_key:
+                            text = tok.decode(
+                                ids, skip_special_tokens=False,
+                                decode_with_timestamps=True,
+                            )
+                            writer.writerow([u.name, text])
+                    tp.add(len(wav) / feat.sampling_rate)
+                    n_done += 1
+                    yield record
 
     n = common.write_jsonl(jsonl_path, rows())
     rate = tp.rate()

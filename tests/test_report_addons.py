@@ -1,0 +1,65 @@
+"""Reporting + add-on tests: markdown pivot, punctuator validation rules,
+eval-set layout autodetection."""
+import json
+import os
+
+import numpy as np
+
+from kotoba_whisper_tpu.eval.punctuator import Punctuator, RuleBasedJaPunctuator
+from kotoba_whisper_tpu.eval.report import load_metrics, pivot_table
+
+
+def test_pivot_table(tmp_path):
+    path = str(tmp_path / "metric.ja.transcribe.jsonl")
+    rows = [
+        {"model": "a", "dataset": "d1", "cer_norm": 11.61},
+        {"model": "a", "dataset": "d2", "cer_norm": 9.2},
+        {"model": "b", "dataset": "d1", "cer_norm": 15.1},
+        {"model": "a", "dataset": "d1", "cer_norm": 11.4},  # last wins
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    table = pivot_table(load_metrics(path), "cer_norm")
+    lines = table.splitlines()
+    assert lines[0] == "| model | d1 | d2 |"
+    assert "| a | 11.4 | 9.2 |" in table
+    assert "| b | 15.1 | - |" in table
+
+
+def test_punctuator_validation():
+    p = Punctuator()
+    chunks = [
+        {"timestamp": (0.0, 1.0), "text": "こんにちは"},
+        {"timestamp": (1.0, 2.0), "text": "もう終わり。"},
+    ]
+    out = p.punctuate(chunks)
+    assert out[0]["text"] == "こんにちは。"
+    assert out[1]["text"] == "もう終わり。"
+
+    # a punctuate_fn that rewrites content must be rejected
+    bad = Punctuator(punctuate_fn=lambda ts: ["全然違う" for _ in ts])
+    out2 = bad.punctuate(chunks)
+    assert out2[0]["text"] == "こんにちは"
+
+
+def test_eval_set_autodetect_manifest(tmp_path, rng):
+    import struct
+
+    from kotoba_whisper_tpu.data.eval_sets import iter_eval_set
+
+    def wav(a, sr=16000):
+        pcm = (np.clip(a, -1, 1) * 32767).astype("<i2").tobytes()
+        return struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+            16, 1, 1, sr, sr * 2, 2, 16, b"data", len(pcm),
+        ) + pcm
+
+    (tmp_path / "a.wav").write_bytes(wav(rng.standard_normal(1600) * 0.1))
+    (tmp_path / "manifest.jsonl").write_text(
+        json.dumps({"audio": "a.wav", "text": "hello"}) + "\n"
+    )
+    examples = list(iter_eval_set(str(tmp_path)))
+    assert len(examples) == 1
+    assert examples[0].text == "hello"
+    assert len(examples[0].audio) == 1600
