@@ -33,6 +33,12 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip_filtering", action="store_true")
     ap.add_argument("--skip_logmel", action="store_true")
+    ap.add_argument(
+        "--label_column", default="whisper_transcript",
+        help="transcript column to process — v3 bilingual datasets carry "
+        "one column per (task, lang), e.g. 'whisper_transcript/translate.en'"
+        " (run_data_filtering_v3.py processes columns one at a time)",
+    )
     arg = ap.parse_args(argv)
 
     from kotoba_whisper_tpu.utils.backend import ensure_backend
@@ -73,7 +79,9 @@ def main(argv=None) -> None:
         if row is None:
             continue
         n_total += 1
-        ids = row["whisper_transcript"]
+        ids = row.get(arg.label_column)
+        if ids is None:
+            continue
         if not arg.skip_filtering:
             if not filtering.is_wer_in_range(
                 u.transcription or row.get("transcription") or "",

@@ -58,18 +58,22 @@ def build_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
 def _param_spec(path: tuple[str, ...], ndim: int) -> P:
     name = path[-1]
     parent = path[-2] if len(path) >= 2 else ""
-    grand = path[-3] if len(path) >= 3 else ""
+    # transformer-layer weights are STACKED on a leading (num_layers,) axis
+    # (models/whisper.py) — every dim below shifts right by one
+    stacked = "layers" in path
 
-    if ndim <= 1:
-        # biases / LN scales: shard column-parallel biases over model
-        if name == "bias" and parent in ("q_proj", "k_proj", "v_proj", "fc1"):
-            return P(MODEL_AXIS)
+    def spec(*dims):
+        return P(None, *dims) if stacked else P(*dims)
+
+    base_ndim = ndim - 1 if stacked else ndim
+    if base_ndim <= 1:
+        # biases / LN scales replicated (GSPMD reshards the add as needed)
         return P()
     if name == "kernel":
         if parent in ("q_proj", "k_proj", "v_proj", "fc1"):
-            return P(None, MODEL_AXIS)
+            return spec(None, MODEL_AXIS)   # column-parallel: shard out dim
         if parent in ("out_proj", "fc2"):
-            return P(MODEL_AXIS, None)
+            return spec(MODEL_AXIS, None)   # row-parallel: shard in dim
         if parent in ("conv1", "conv2"):
             # (width, in, out): shard out channels
             return P(None, None, MODEL_AXIS)
@@ -77,8 +81,6 @@ def _param_spec(path: tuple[str, ...], ndim: int) -> P:
         # token embedding stays replicated: sharding the vocab axis would
         # put collectives (all-to-all/all-gather) on the logits softmax and
         # CE/KL gather paths for a ~265 MB table — bad trade at this scale.
-        return P()
-    if name == "pos_embedding":
         return P()
     return P()
 
