@@ -129,20 +129,28 @@ def main(argv=None) -> None:
     tp.start()
     n_done = 0
 
+    from kotoba_whisper_tpu.parallel.multihost import interleave_prefetch
+
+    def host_batches():
+        """Audio decode + collation, prefetched on a background thread so
+        host work overlaps device compute (the reference's chunk-N+1
+        double-buffering, script/distil_whisper_v2.0.sh:72-84, done
+        in-process)."""
+        for batch in common.batched(utts, arg.batch_size):
+            audio = []
+            for u in batch:
+                wav, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
+                audio.append(wav)
+            yield batch, audio, collate_audio(audio, ccfg)
+
     def rows():
         nonlocal n_done
-        stream = utts
         with open(csv_path, "w", newline="") as cf:
             writer = csv.writer(cf)
             writer.writerow(["file_id", "whisper_transcript"])
-            for batch in common.batched(stream, arg.batch_size):
+            for batch, audio, arr in interleave_prefetch(host_batches()):
                 if arg.limit is not None and n_done >= arg.limit:
                     break
-                audio = []
-                for u in batch:
-                    wav, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
-                    audio.append(wav)
-                arr = collate_audio(audio, ccfg)
                 per_task = generate(arr)
                 main_key = next(iter(task_opts))
                 for bi, (u, wav) in enumerate(zip(batch, audio)):

@@ -70,7 +70,7 @@ def _param_spec(path: tuple[str, ...], ndim: int) -> P:
         # biases / LN scales replicated (GSPMD reshards the add as needed)
         return P()
     if name == "kernel":
-        if parent in ("q_proj", "k_proj", "v_proj", "fc1"):
+        if parent in ("q_proj", "k_proj", "v_proj", "qkv_proj", "kv_proj", "fc1"):
             return spec(None, MODEL_AXIS)   # column-parallel: shard out dim
         if parent in ("out_proj", "fc2"):
             return spec(MODEL_AXIS, None)   # row-parallel: shard in dim

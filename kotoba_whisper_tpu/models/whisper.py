@@ -158,10 +158,29 @@ def merge_heads(x):
     return x.reshape(b, t, h * hd)
 
 
+def qkv_projections(p, x, kv_x, n_heads):
+    """(q, k, v) head-split projections; consumes fused qkv/kv entries when
+    present (models/optimized.py)."""
+    if "qkv_proj" in p:  # self-attention fused path (x is kv_x)
+        qkv = dense(p["qkv_proj"], x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    elif "kv_proj" in p:  # cross-attention fused path
+        q = dense(p["q_proj"], x)
+        kv = dense(p["kv_proj"], kv_x)
+        k, v = jnp.split(kv, 2, axis=-1)
+    else:
+        q = dense(p["q_proj"], x)
+        k = dense(p["k_proj"], kv_x)
+        v = dense(p["v_proj"], kv_x)
+    return (
+        split_heads(q, n_heads),
+        split_heads(k, n_heads),
+        split_heads(v, n_heads),
+    )
+
+
 def mha(p, x, kv_x, n_heads, *, mask=None, causal=False, impl="xla"):
-    q = split_heads(dense(p["q_proj"], x), n_heads)
-    k = split_heads(dense(p["k_proj"], kv_x), n_heads)
-    v = split_heads(dense(p["v_proj"], kv_x), n_heads)
+    q, k, v = qkv_projections(p, x, kv_x, n_heads)
     o = attention(q, k, v, mask, causal=causal, impl=impl)
     return dense(p["out_proj"], merge_heads(o))
 
@@ -247,9 +266,14 @@ def init_cache(
     hd = cfg.d_model // h
 
     def cross_kv(lp):
-        k = split_heads(dense(lp["encoder_attn"]["k_proj"], encoder_out), h)
-        v = split_heads(dense(lp["encoder_attn"]["v_proj"], encoder_out), h)
-        return k, v
+        ea = lp["encoder_attn"]
+        if "kv_proj" in ea:
+            kv = dense(ea["kv_proj"], encoder_out)
+            k_flat, v_flat = jnp.split(kv, 2, axis=-1)
+        else:
+            k_flat = dense(ea["k_proj"], encoder_out)
+            v_flat = dense(ea["v_proj"], encoder_out)
+        return split_heads(k_flat, h), split_heads(v_flat, h)
 
     cross_k, cross_v = jax.vmap(cross_kv, in_axes=0, out_axes=0)(dec["layers"])
     zeros = jnp.zeros(
@@ -332,9 +356,7 @@ def decode(
     def block(x, layer_in):
         lp, self_k, self_v, cross_k, cross_v = layer_in
         h = layer_norm(lp["self_attn_layer_norm"], x, cfg.layer_norm_eps)
-        q = split_heads(dense(lp["self_attn"]["q_proj"], h), n_heads)
-        k_new = split_heads(dense(lp["self_attn"]["k_proj"], h), n_heads)
-        v_new = split_heads(dense(lp["self_attn"]["v_proj"], h), n_heads)
+        q, k_new, v_new = qkv_projections(lp["self_attn"], h, h, n_heads)
         self_k = jax.lax.dynamic_update_slice_in_dim(
             self_k, k_new.astype(self_k.dtype), cache.length, axis=1
         )

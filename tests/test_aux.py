@@ -72,8 +72,8 @@ def test_merge_chunks_and_status(tmp_path):
 
 def test_model_statistics_match_reference_param_counts():
     """Parameter counts must reproduce misc/model_statistics.csv exactly:
-    large-v3 = 1,543,490,560; kotoba student (2-dec) = 756,439,040... the
-    reference reports 756,405,760 for v1.0 (large-v2 80-mel variant)."""
+    large-v3 = 1,543,490,560; kotoba-v1.0 student (large-v3 arch, 2 decoder
+    layers) = 756,405,760."""
     import jax
 
     from kotoba_whisper_tpu.core.config import PRESETS
@@ -154,3 +154,42 @@ def test_step_timer():
         y = jnp.ones((8, 8)) * 2
         dt = t.done(y)
     assert dt > 0 and t.mean > 0
+
+
+def test_safe_publish_atomic(tmp_path):
+    from kotoba_whisper_tpu.utils.artifacts import (
+        delete_artifacts,
+        list_artifacts,
+        safe_publish,
+    )
+
+    dest = str(tmp_path / "store" / "dataset_v1")
+
+    def build(d):
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write("v1")
+
+    safe_publish(build, dest)
+    assert open(os.path.join(dest, "data.txt")).read() == "v1"
+
+    # republish replaces atomically
+    def build2(d):
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write("v2")
+
+    safe_publish(build2, dest)
+    assert open(os.path.join(dest, "data.txt")).read() == "v2"
+
+    # failing build retries then raises; dest untouched
+    import pytest as _pytest
+
+    def bad(d):
+        raise OSError("disk on fire")
+
+    with _pytest.raises(RuntimeError):
+        safe_publish(bad, dest, max_retries=2, retry_sleep_s=0.01)
+    assert open(os.path.join(dest, "data.txt")).read() == "v2"
+
+    assert list_artifacts(str(tmp_path / "store")) == ["dataset_v1"]
+    delete_artifacts(str(tmp_path / "store"), ["dataset_v1"])
+    assert list_artifacts(str(tmp_path / "store")) == []
