@@ -240,9 +240,13 @@ def encode(
 class KVCache(NamedTuple):
     """Fixed-capacity decoder cache, layers stacked on axis 0.
 
-    self_k/self_v: (L, B, capacity, H, hd); cross_k/cross_v precomputed from
-    encoder states once per utterance: (L, B, 1500, H, hd); length: ()
-    current fill (same for all batch rows — decode is lockstep).
+    K/V are stored FLAT: self_k/self_v (L, B, capacity, D); cross_k/cross_v
+    precomputed from encoder states once per utterance (L, B, 1500, D).
+    Flat (lane-packed) layout matters: with per-head minor dims (H=20,
+    hd=64) XLA pads to sublane/lane tiles and nearly doubles the HBM
+    footprint AND the per-step read traffic of the cross cache — the
+    dominant cost of incremental decode (measured via xprof; see
+    ops/decode_attention.py). length: current fill (lockstep batch).
     """
 
     self_k: jax.Array
@@ -262,8 +266,6 @@ def init_cache(
 ) -> KVCache:
     dec = params["decoder"]
     b = encoder_out.shape[0]
-    h = cfg.decoder_attention_heads
-    hd = cfg.d_model // h
 
     def cross_kv(lp):
         ea = lp["encoder_attn"]
@@ -273,11 +275,11 @@ def init_cache(
         else:
             k_flat = dense(ea["k_proj"], encoder_out)
             v_flat = dense(ea["v_proj"], encoder_out)
-        return split_heads(k_flat, h), split_heads(v_flat, h)
+        return k_flat, v_flat
 
     cross_k, cross_v = jax.vmap(cross_kv, in_axes=0, out_axes=0)(dec["layers"])
     zeros = jnp.zeros(
-        (cfg.decoder_layers, b, capacity, h, hd), compute_dtype
+        (cfg.decoder_layers, b, capacity, cfg.d_model), compute_dtype
     )
     return KVCache(
         zeros, zeros,
@@ -344,32 +346,76 @@ def decode(
         )
         return logits
 
-    # ---- incremental decode with fixed-capacity cache ----
+    # ---- incremental decode with fixed-capacity FLAT cache ----
+    from kotoba_whisper_tpu.ops.decode_attention import (
+        decode_attention_flat,
+        decode_attention_reference,
+    )
+
     capacity = cache.self_k.shape[2]
-    # Token i of the new block (global position length+i) may attend to
-    # cache slots 0..length+i — causal within the block, full over history.
-    kv_mask = (
-        jnp.arange(capacity)[None, :]
-        <= cache.length + jnp.arange(t)[:, None]
-    )[None, None]  # (1, 1, t, capacity)
+    use_flat_kernel = t == 1 and attn_impl == "pallas"
+    if t > 1:
+        # prefill: token i (global pos length+i) attends to slots
+        # 0..length+i — causal within the block, full over history
+        kv_mask = (
+            jnp.arange(capacity)[None, :]
+            <= cache.length + jnp.arange(t)[:, None]
+        )[None, None]  # (1, 1, t, capacity)
+
+    def flat_or_ref(q_flat, k_flat, v_flat, valid):
+        """Single-query attention over a flat KV block."""
+        b_, _, d_ = q_flat.shape
+        q3 = q_flat.reshape(b_, n_heads, d_ // n_heads)
+        if use_flat_kernel:
+            o = decode_attention_flat(q3, k_flat, v_flat, valid, n_heads=n_heads)
+        else:
+            o = decode_attention_reference(
+                q3, k_flat, v_flat, valid, n_heads=n_heads
+            )
+        return o.reshape(b_, 1, d_)
 
     def block(x, layer_in):
         lp, self_k, self_v, cross_k, cross_v = layer_in
         h = layer_norm(lp["self_attn_layer_norm"], x, cfg.layer_norm_eps)
-        q, k_new, v_new = qkv_projections(lp["self_attn"], h, h, n_heads)
+        if "qkv_proj" in lp["self_attn"]:
+            qkv = dense(lp["self_attn"]["qkv_proj"], h)
+            q_flat, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        else:
+            q_flat = dense(lp["self_attn"]["q_proj"], h)
+            k_new = dense(lp["self_attn"]["k_proj"], h)
+            v_new = dense(lp["self_attn"]["v_proj"], h)
         self_k = jax.lax.dynamic_update_slice_in_dim(
             self_k, k_new.astype(self_k.dtype), cache.length, axis=1
         )
         self_v = jax.lax.dynamic_update_slice_in_dim(
             self_v, v_new.astype(self_v.dtype), cache.length, axis=1
         )
-        o = attention(q, self_k, self_v, kv_mask)
-        x = x + dense(lp["self_attn"]["out_proj"], merge_heads(o))
+        if t == 1:
+            o_flat = flat_or_ref(q_flat, self_k, self_v, cache.length + 1)
+        else:
+            o = attention(
+                split_heads(q_flat, n_heads),
+                split_heads(self_k, n_heads),
+                split_heads(self_v, n_heads),
+                kv_mask,
+            )
+            o_flat = merge_heads(o)
+        x = x + dense(lp["self_attn"]["out_proj"], o_flat)
 
         h = layer_norm(lp["encoder_attn_layer_norm"], x, cfg.layer_norm_eps)
-        q = split_heads(dense(lp["encoder_attn"]["q_proj"], h), n_heads)
-        o = attention(q, cross_k, cross_v)
-        x = x + dense(lp["encoder_attn"]["out_proj"], merge_heads(o))
+        q_flat = dense(lp["encoder_attn"]["q_proj"], h)
+        if t == 1:
+            o_flat = flat_or_ref(
+                q_flat, cross_k, cross_v, jnp.asarray(cross_k.shape[1], jnp.int32)
+            )
+        else:
+            o = attention(
+                split_heads(q_flat, n_heads),
+                split_heads(cross_k, n_heads),
+                split_heads(cross_v, n_heads),
+            )
+            o_flat = merge_heads(o)
+        x = x + dense(lp["encoder_attn"]["out_proj"], o_flat)
 
         h = layer_norm(lp["final_layer_norm"], x, cfg.layer_norm_eps)
         h = jax.nn.gelu(dense(lp["fc1"], h), approximate=False)
