@@ -135,9 +135,22 @@ def main(argv=None) -> None:
         step = int(state.step)
         t_last = time.time()
         done = False
+        steps_per_epoch = len(rows) // global_batch
+        # batch-level resume: replay the RNG shuffle for elapsed epochs and
+        # skip the in-epoch batches already consumed (the reference's
+        # re-shuffle + skip_first_batches, run_distillation.py:697-727)
+        skip_batches = 0
+        if step > 0 and steps_per_epoch > 0:
+            for _ in range(start_epoch):
+                rng.permutation(len(rows))
+            skip_batches = step - start_epoch * steps_per_epoch
         for epoch in range(start_epoch, arg.num_train_epochs):
             order = rng.permutation(len(rows))
-            for lo in range(0, len(order) - global_batch + 1, global_batch):
+            for batch_i, lo in enumerate(
+                range(0, len(order) - global_batch + 1, global_batch)
+            ):
+                if epoch == start_epoch and batch_i < skip_batches:
+                    continue
                 idx = order[lo : lo + global_batch]
                 lab = collate_labels([rows[i]["labels"] for i in idx], ccfg)
                 batch = sharded.place_batch(

@@ -22,6 +22,11 @@ def main(argv=None) -> None:
     ap.add_argument("--output_dir", default="eval_pipeline")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--punctuator", action="store_true",
+                    help="apply the punctuation add-on to pipeline chunks "
+                    "(the v1.1/v2.1 eval variants)")
+    ap.add_argument("--stable_ts", action="store_true",
+                    help="apply timestamp repair to pipeline chunks")
     arg = ap.parse_args(argv)
 
     import jax
@@ -59,14 +64,32 @@ def main(argv=None) -> None:
         if arg.limit is not None and len(examples) >= arg.limit:
             break
 
+    transcribe = pipe.transcribe
+    if arg.punctuator or arg.stable_ts:
+        from kotoba_whisper_tpu.eval.punctuator import Punctuator
+        from kotoba_whisper_tpu.eval.timestamp_repair import repair_timestamps
+
+        punct = Punctuator() if arg.punctuator else None
+
+        def transcribe(audio):  # noqa: F811 — add-on composition
+            out = pipe(audio)
+            chunks = out["chunks"]
+            if arg.stable_ts:
+                chunks = repair_timestamps(chunks, len(audio) / 16000)
+            if punct is not None:
+                chunks = punct.punctuate(chunks)
+            return "".join(c["text"] for c in chunks) if chunks else out["text"]
+
     record = evaluate_short_form(
         examples,
-        pipe.transcribe,
+        transcribe,
         model_name=arg.model,
         dataset_name=arg.dataset_name or arg.dataset_dir,
         language=arg.language,
         task=arg.task,
         output_dir=arg.output_dir,
+        punctuator=arg.punctuator,
+        stable_ts=arg.stable_ts,
     )
     print(record)
 

@@ -1,21 +1,24 @@
-"""Pallas decode-step attention over flat (lane-packed) KV caches.
+"""Decode-step attention over flat (lane-packed) KV caches.
 
-Why this kernel exists (found via xprof on the real chip): incremental
-decode re-reads the whole cross-attention K/V every step — for large-v3
-that is 32 layers x 2 tensors x (B, 1500, 20 heads, 64) per token. With
-heads kept as separate minor dims, XLA pads the last dim 64 -> 128 lanes
-and the head dim to sublane multiples, roughly DOUBLING the HBM footprint
-and read traffic of the single biggest consumer in the pipeline (and
-capping the feasible batch). Storing K/V flat as (B, T, H*64) is
-padding-free; this kernel streams the flat layout HBM->VMEM in chunks and
-does the per-head softmax(qK^T/√d)V math in VMEM with online (flash-style)
-normalization, where re-slicing costs nothing.
+Why (found via xprof on the real chip): incremental decode re-reads the
+whole cross-attention K/V every step — for large-v3, 32 layers x 2 tensors
+x (B, 1500, 20 heads, 64) per token. With heads as separate minor dims,
+XLA pads the last dim 64 -> 128 lanes and the head dim to sublanes,
+~2.4x-ing both the HBM footprint (caps feasible batch) and the per-step
+read traffic. The caches therefore store K/V flat (B, T, H*64) — exactly
+lane-packed — and attention must be computed WITHOUT reshaping back to
+per-head layout (a reshape would materialize the padded form again).
 
-Shapes: q (B, H, hd) one query per row; k/v (B, T, H*hd) flat; valid_len
-masks the tail (cache capacity beyond the fill, or encoder padding).
-Grid is (B, T/chunk): TPU grid steps run sequentially per core, so the
-running max/sum/accumulator live in scratch across chunk steps and the
-output is written on the last chunk. fp32 accumulation.
+The head structure is recovered with block-diagonal projections instead:
+
+    scores[b,t,h] = sum_d k[b,t,d] * qd[b,d,h]      qd = q ⊙ blockdiag
+    w_exp[b,t,d]  = sum_h w[b,t,h] * E[h,d]         E[h, h*64:(h+1)*64]=1
+    out[b,d]      = sum_t w_exp[b,t,d] * v[b,t,d]
+
+i.e. two skinny MXU matmuls and an elementwise reduce — no transposes, no
+reshapes, identical math to per-head softmax(qK^T/√d)V. The XLA path uses
+these einsums directly; the Pallas kernel streams K/V chunks HBM->VMEM
+with flash-style online normalization for minimal traffic.
 """
 from __future__ import annotations
 
@@ -23,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -30,18 +34,63 @@ NEG_INF = -1.0e30
 DEFAULT_CHUNK = 512
 
 
+@functools.lru_cache(maxsize=8)
+def _expand_matrix(n_heads: int, head_dim: int) -> np.ndarray:
+    """E (H, H*hd): E[h, h*hd + i] = 1 — head -> flat-lane broadcast."""
+    e = np.zeros((n_heads, n_heads * head_dim), np.float32)
+    for h in range(n_heads):
+        e[h, h * head_dim : (h + 1) * head_dim] = 1.0
+    return e
+
+
+def _qd(q: jax.Array, n_heads: int) -> jax.Array:
+    """q (B, H, hd) -> block-diagonal qd (B, H*hd, H), scaled by 1/√hd."""
+    b, h, hd = q.shape
+    e = jnp.asarray(_expand_matrix(h, hd))          # (H, dh)
+    q_flat = q.reshape(b, h * hd) * (1.0 / hd**0.5)
+    # qd[b, d, g] = q_flat[b, d] * E[g, d]
+    return q_flat[:, :, None] * e.T[None]
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+
+def decode_attention_reference(q, k_flat, v_flat, valid_len, *, n_heads):
+    """(B,H,hd) x (B,T,dh) -> (B,H,hd); everything on the flat layout."""
+    b, t, dh = k_flat.shape
+    hd = dh // n_heads
+    e = jnp.asarray(_expand_matrix(n_heads, hd))
+    qd = _qd(q.astype(jnp.float32), n_heads)        # (B, dh, H)
+    scores = jnp.einsum(
+        "btd,bdh->bth", k_flat.astype(jnp.float32), qd,
+        preferred_element_type=jnp.float32,
+    )
+    mask = jnp.arange(t)[None, :, None] < valid_len
+    scores = jnp.where(mask, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=1)              # softmax over T
+    w_exp = jnp.einsum(
+        "bth,hd->btd", w, e, preferred_element_type=jnp.float32
+    )
+    out = jnp.sum(w_exp * v_flat.astype(jnp.float32), axis=1)  # (B, dh)
+    return out.reshape(b, n_heads, hd).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: chunked streaming with online softmax
+# ---------------------------------------------------------------------------
+
 def _kernel(
     valid_len_ref,
-    q_ref,      # (H, hd)
-    k_ref,      # (CHUNK, H*hd)
-    v_ref,      # (CHUNK, H*hd)
-    o_ref,      # (H, hd)
-    m_ref,      # scratch (H, 1) running max
-    l_ref,      # scratch (H, 1) running sum
-    acc_ref,    # scratch (H, hd) running accumulator
+    qd_ref,     # (dh, H)
+    e_ref,      # (H, dh) constant expand matrix
+    k_ref,      # (CHUNK, dh)
+    v_ref,      # (CHUNK, dh)
+    o_ref,      # (1, dh)
+    m_ref,      # scratch (1, H)
+    l_ref,      # scratch (1, H)
+    acc_ref,    # scratch (1, dh)
     *,
-    n_heads: int,
-    head_dim: int,
     chunk: int,
 ):
     j = pl.program_id(1)
@@ -54,41 +103,34 @@ def _kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[:].astype(jnp.float32)          # (H, hd)
-    k = k_ref[:].astype(jnp.float32)          # (C, H*hd)
+    k = k_ref[:].astype(jnp.float32)                # (C, dh)
     v = v_ref[:].astype(jnp.float32)
+    qd = qd_ref[:].astype(jnp.float32)              # (dh, H)
+    e = e_ref[:].astype(jnp.float32)                # (H, dh)
 
-    scale = 1.0 / (head_dim**0.5)
-    qf = q.reshape(1, n_heads * head_dim) * scale
-    prod = k * qf                              # (C, H*hd)
-    scores = jnp.sum(
-        prod.reshape(chunk, n_heads, head_dim), axis=-1
-    ).T                                        # (H, C)
+    scores = jnp.dot(k, qd, preferred_element_type=jnp.float32)  # (C, H)
     pos = j * chunk + jax.lax.broadcasted_iota(
-        jnp.int32, (n_heads, chunk), dimension=1
+        jnp.int32, scores.shape, dimension=0
     )
     scores = jnp.where(pos < valid, scores, NEG_INF)
 
-    m_prev = m_ref[:]
-    m_cur = jnp.max(scores, axis=-1, keepdims=True)
+    m_prev = m_ref[:]                               # (1, H)
+    m_cur = jnp.max(scores, axis=0, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)                # (H, C)
-    l_ref[:] = corr * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    corr = jnp.exp(m_prev - m_new)                  # (1, H)
+    p = jnp.exp(scores - m_new)                     # (C, H)
+    l_ref[:] = corr * l_ref[:] + jnp.sum(p, axis=0, keepdims=True)
     m_ref[:] = m_new
 
-    # acc_h += sum_c p[h,c] * v[c, h]  on the flat layout
-    pv = jnp.sum(
-        p.T.reshape(chunk, n_heads, 1) * v.reshape(chunk, n_heads, head_dim),
-        axis=0,
-    )                                          # (H, hd)
-    acc_ref[:] = acc_ref[:] * corr + pv
+    w_exp = jnp.dot(p, e, preferred_element_type=jnp.float32)    # (C, dh)
+    partial = jnp.sum(w_exp * v, axis=0, keepdims=True)          # (1, dh)
+    corr_d = jnp.dot(corr, e, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * corr_d + partial
 
     @pl.when(j == n_chunks - 1)
     def _():
-        o_ref[:] = (
-            acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
-        ).astype(o_ref.dtype)
+        l_d = jnp.dot(l_ref[:], e, preferred_element_type=jnp.float32)
+        o_ref[:] = (acc_ref[:] / jnp.maximum(l_d, 1e-30)).astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -98,7 +140,7 @@ def _round_up(x, m):
 @functools.partial(jax.jit, static_argnames=("n_heads", "chunk", "interpret"))
 def decode_attention_flat(
     q: jax.Array,          # (B, H, hd)
-    k_flat: jax.Array,     # (B, T, H*hd)
+    k_flat: jax.Array,     # (B, T, dh)
     v_flat: jax.Array,
     valid_len: jax.Array,  # scalar int32
     *,
@@ -108,7 +150,7 @@ def decode_attention_flat(
 ) -> jax.Array:
     """-> (B, H, hd). One query per batch row against a flat KV block."""
     b, t, dh = k_flat.shape
-    head_dim = dh // n_heads
+    hd = dh // n_heads
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     chunk = min(chunk, _round_up(t, 128))
@@ -116,46 +158,30 @@ def decode_attention_flat(
     if t_pad != t:
         k_flat = jnp.pad(k_flat, ((0, 0), (0, t_pad - t), (0, 0)))
         v_flat = jnp.pad(v_flat, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    qd = _qd(q.astype(jnp.float32), n_heads)        # (B, dh, H)
+    e = jnp.asarray(_expand_matrix(n_heads, hd))
     valid = jnp.full((1,), valid_len, jnp.int32)
 
-    return pl.pallas_call(
-        functools.partial(
-            _kernel, n_heads=n_heads, head_dim=head_dim, chunk=chunk
-        ),
+    out = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, t_pad // chunk),
             in_specs=[
-                pl.BlockSpec((None, n_heads, head_dim), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((None, dh, n_heads), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((n_heads, dh), lambda i, j, *_: (0, 0)),
                 pl.BlockSpec((None, chunk, dh), lambda i, j, *_: (i, j, 0)),
                 pl.BlockSpec((None, chunk, dh), lambda i, j, *_: (i, j, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (None, n_heads, head_dim), lambda i, j, *_: (i, 0, 0)
-            ),
+            out_specs=pl.BlockSpec((None, 1, dh), lambda i, j, *_: (i, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((n_heads, 1), jnp.float32),
-                pltpu.VMEM((n_heads, 1), jnp.float32),
-                pltpu.VMEM((n_heads, head_dim), jnp.float32),
+                pltpu.VMEM((1, n_heads), jnp.float32),
+                pltpu.VMEM((1, n_heads), jnp.float32),
+                pltpu.VMEM((1, dh), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_heads, head_dim), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, dh), q.dtype),
         interpret=interpret,
-    )(valid, q, k_flat, v_flat)
-
-
-def decode_attention_reference(q, k_flat, v_flat, valid_len, *, n_heads):
-    """XLA reference path (same math, used on CPU and for verification)."""
-    b, t, dh = k_flat.shape
-    hd = dh // n_heads
-    k = k_flat.reshape(b, t, n_heads, hd)
-    v = v_flat.reshape(b, t, n_heads, hd)
-    scale = 1.0 / (hd**0.5)
-    scores = jnp.einsum(
-        "bhd,bthd->bht", (q * scale).astype(jnp.float32), k.astype(jnp.float32)
-    )
-    mask = jnp.arange(t)[None, None, :] < valid_len
-    scores = jnp.where(mask, scores, NEG_INF)
-    w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bht,bthd->bhd", w, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    )(valid, qd, e, k_flat, v_flat)
+    return out.reshape(b, n_heads, hd)
