@@ -40,7 +40,7 @@ def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         cfg = PRESETS["large-v3"]
-        batch, n_tokens, trials = 16, 48, 3
+        batch, n_tokens, trials = 32, 48, 3
     else:  # CPU smoke path so the bench always emits a record
         cfg = PRESETS["test-tiny"]
         batch, n_tokens, trials = 2, 16, 1

@@ -46,6 +46,30 @@ def load_model(spec: str, seed: int = 0):
     return import_hf_model(spec)
 
 
+def load_generation_defaults(model_spec: str) -> dict[str, Any]:
+    """Decode defaults from a checkpoint dir's generation_config.json
+    (HF layout): suppress lists and the initial-timestamp cap. Presets and
+    dirs without the file get empty suppress lists."""
+    defaults: dict[str, Any] = {
+        "suppress_tokens": (),
+        "begin_suppress_tokens": (),
+        "max_initial_timestamp_index": 50,
+    }
+    path = os.path.join(model_spec, "generation_config.json")
+    if os.path.isfile(path):
+        with open(path) as f:
+            g = json.load(f)
+        if g.get("suppress_tokens"):
+            defaults["suppress_tokens"] = tuple(g["suppress_tokens"])
+        if g.get("begin_suppress_tokens"):
+            defaults["begin_suppress_tokens"] = tuple(g["begin_suppress_tokens"])
+        if g.get("max_initial_timestamp_index") is not None:
+            defaults["max_initial_timestamp_index"] = g[
+                "max_initial_timestamp_index"
+            ]
+    return defaults
+
+
 def write_jsonl(path: str, rows: Iterator[dict[str, Any]]) -> int:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     n = 0

@@ -47,8 +47,10 @@ def main(argv=None) -> None:
     compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
 
+    gen_defaults = common.load_generation_defaults(arg.model)
     pipe = AsrPipeline(
         params=params, cfg=cfg, tok=tok,
+        **gen_defaults,
         language=arg.language, task=arg.task,
         chunk_length_s=arg.chunk_length_s, num_beams=arg.num_beams,
         compute_dtype=compute_dtype,

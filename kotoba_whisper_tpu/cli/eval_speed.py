@@ -38,8 +38,10 @@ def main(argv=None) -> None:
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
     attn = arg.attn or ("pallas" if jax.default_backend() == "tpu" else "xla")
 
+    gen_defaults = common.load_generation_defaults(arg.model)
     pipe = AsrPipeline(
         params=params, cfg=cfg, tok=tok,
+        **gen_defaults,
         chunk_length_s=arg.chunk_length_s, compute_dtype=compute_dtype,
         attn_impl=attn,
     )

@@ -73,6 +73,7 @@ def main(argv=None) -> None:
     params, cfg = common.load_model(arg.model)
     compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+    attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     feat = FeatureConfig(n_mels=cfg.num_mel_bins)
     ccfg = CollatorConfig(n_samples=feat.n_samples)
@@ -85,6 +86,7 @@ def main(argv=None) -> None:
     else:
         lang_tasks = [(arg.language, arg.task)]
 
+    gen_defaults = common.load_generation_defaults(arg.model)
     task_opts = {
         f"{task}.{lang}": GenerateOptions(
             prompt_ids=tuple(
@@ -92,6 +94,7 @@ def main(argv=None) -> None:
             ),
             max_length=arg.max_label_length,
             return_timestamps=arg.return_timestamps,
+            **gen_defaults,
         )
         for lang, task in lang_tasks
     }
@@ -106,11 +109,12 @@ def main(argv=None) -> None:
                 toks, _ = generate_beam(
                     params, cfg, mel, opts, tok.special,
                     num_beams=arg.num_beams, compute_dtype=compute_dtype,
+                    attn_impl=attn_impl,
                 )
             else:
                 toks = generate_greedy(
                     params, cfg, mel, opts, tok.special,
-                    compute_dtype=compute_dtype,
+                    compute_dtype=compute_dtype, attn_impl=attn_impl,
                 )
             out[key] = np.asarray(toks)
         return out

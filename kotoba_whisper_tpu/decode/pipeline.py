@@ -33,6 +33,9 @@ class AsrPipeline:
     return_timestamps: bool = True
     compute_dtype: object = None
     attn_impl: str = "xla"
+    suppress_tokens: tuple = ()
+    begin_suppress_tokens: tuple = ()
+    max_initial_timestamp_index: int = 50
 
     def __post_init__(self):
         import jax.numpy as jnp
@@ -49,6 +52,9 @@ class AsrPipeline:
             ),
             max_length=self.max_length,
             return_timestamps=self.return_timestamps,
+            suppress_tokens=tuple(self.suppress_tokens),
+            begin_suppress_tokens=tuple(self.begin_suppress_tokens),
+            max_initial_timestamp_index=self.max_initial_timestamp_index,
         )
 
     def _generate(self, batch_audio: np.ndarray) -> np.ndarray:

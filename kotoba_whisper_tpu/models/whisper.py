@@ -353,7 +353,12 @@ def decode(
     )
 
     capacity = cache.self_k.shape[2]
-    use_flat_kernel = t == 1 and attn_impl == "pallas"
+    # Decode-step attention default is the block-diagonal XLA path: on-chip
+    # A/B at large-v3 shapes it beats the chunked Pallas kernel (482 vs 288
+    # audio-s/s/chip at B=32 — XLA's batched skinny matmuls pipeline the KV
+    # streaming better than the per-row grid). The kernel stays available
+    # via attn_impl="pallas_decode" for future tuning.
+    use_flat_kernel = t == 1 and attn_impl == "pallas_decode"
     if t > 1:
         # prefill: token i (global pos length+i) attends to slots
         # 0..length+i — causal within the block, full over history

@@ -172,3 +172,20 @@ def test_microbatch_accumulation_matches_full(rng):
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
     )
     assert max(jax.tree.leaves(d)) < 5e-3
+
+
+def test_train_step_bf16_compute(rng):
+    """bf16 compute path (production dtype): one step, finite metrics."""
+    cfg = tiny_cfg()
+    teacher = whisper.init_params(jax.random.key(0), cfg)
+    student, s_cfg = init_student_from_teacher(teacher, cfg, decoder_layers=2)
+    dc = distill.DistillConfig(
+        compute_dtype=jnp.bfloat16, remat=True, num_microbatches=1
+    )
+    tx, _ = optim.make_optimizer(student, lr=1e-4, warmup_steps=1)
+    state = distill.init_train_state(student, tx)
+    step = distill.jit_train_step(distill.make_train_step(s_cfg, cfg, dc, tx))
+    batch = make_batch(rng, cfg, b=2, t=8)
+    state, m = step(state, teacher, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["kl_loss"]))
