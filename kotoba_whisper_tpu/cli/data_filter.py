@@ -35,9 +35,12 @@ def main(argv=None) -> None:
     ap.add_argument("--skip_logmel", action="store_true")
     ap.add_argument(
         "--label_column", default="whisper_transcript",
-        help="transcript column to process — v3 bilingual datasets carry "
-        "one column per (task, lang), e.g. 'whisper_transcript/translate.en'"
-        " (run_data_filtering_v3.py processes columns one at a time)",
+        help="transcript column(s) to process, comma-separated — v3 "
+        "bilingual datasets carry one column per (task, lang), e.g. "
+        "'whisper_transcript/transcribe.ja,whisper_transcript/translate.en' "
+        "(run_data_filtering_v3.py:161-223 semantics). With several "
+        "columns, each is label-prepared into its own labels/<key> output "
+        "column; the WER filter applies to the first column.",
     )
     arg = ap.parse_args(argv)
 
@@ -66,8 +69,12 @@ def main(argv=None) -> None:
         max_duration_s=arg.max_duration_in_seconds,
         seed=arg.seed,
     )
-    prep = filtering.LabelPreparer(tok, fcfg)
     feat = FeatureConfig(n_mels=arg.n_mels)
+    columns = [c.strip() for c in arg.label_column.split(",") if c.strip()]
+    multi = len(columns) > 1
+    # one LabelPreparer per column: prompt-conditioning history is
+    # per-column (the reference processes columns independently)
+    preps = {c: filtering.LabelPreparer(tok, fcfg) for c in columns}
 
     by_name = {r["name"]: r for r in common.read_jsonl(arg.labels)}
 
@@ -79,22 +86,36 @@ def main(argv=None) -> None:
         if row is None:
             continue
         n_total += 1
-        ids = row.get(arg.label_column)
-        if ids is None:
+        col_ids = {c: row.get(c) for c in columns}
+        if any(v is None for v in col_ids.values()):
             continue
         if not arg.skip_filtering:
+            # WER gate on the primary (transcribe) column
             if not filtering.is_wer_in_range(
                 u.transcription or row.get("transcription") or "",
-                ids, tok, norm, arg.wer_threshold,
+                col_ids[columns[0]], tok, norm, arg.wer_threshold,
             ):
                 n_wer_dropped += 1
                 continue
         audio, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
-        labels = prep.prepare(ids)
-        if not (prep.audio_in_range(len(audio)) and prep.labels_in_range(labels)):
+        labels_by_col = {
+            c: preps[c].prepare(ids) for c, ids in col_ids.items()
+        }
+        prep0 = preps[columns[0]]
+        if not (
+            prep0.audio_in_range(len(audio))
+            and all(prep0.labels_in_range(l) for l in labels_by_col.values())
+        ):
             n_len_dropped += 1
             continue
-        kept_rows.append({"name": u.name, "labels": labels})
+        if multi:
+            out_row = {"name": u.name}
+            for c, l in labels_by_col.items():
+                key = c.split("/", 1)[1] if "/" in c else c
+                out_row[f"labels/{key}"] = l
+        else:
+            out_row = {"name": u.name, "labels": labels_by_col[columns[0]]}
+        kept_rows.append(out_row)
         kept_audio.append(audio)
 
     os.makedirs(arg.output_dir, exist_ok=True)

@@ -104,7 +104,12 @@ def load_train_state(path: str, abstract_state: Any) -> Any:
 # HF-layout model export / import
 # ---------------------------------------------------------------------------
 
-def export_hf_model(path: str, params: Any, cfg: WhisperConfig) -> None:
+def export_hf_model(
+    path: str,
+    params: Any,
+    cfg: WhisperConfig,
+    generation_defaults: dict | None = None,
+) -> None:
     os.makedirs(path, exist_ok=True)
     sd = hf_state_dict_from_params(jax.device_get(params), cfg)
     cfg_dict = dataclasses.asdict(cfg)
@@ -112,6 +117,26 @@ def export_hf_model(path: str, params: Any, cfg: WhisperConfig) -> None:
     cfg_dict["architectures"] = ["WhisperForConditionalGeneration"]
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(cfg_dict, f, indent=2)
+    # generation_config.json: decode defaults travel with the checkpoint
+    # (save_pretrained saves it too; cli/common.load_generation_defaults
+    # reads it back)
+    from kotoba_whisper_tpu.core.config import SpecialTokens
+
+    st = SpecialTokens.for_vocab(cfg.vocab_size) if cfg.vocab_size >= 51865 else None
+    gen = {
+        "decoder_start_token_id": cfg.decoder_start_token_id,
+        "eos_token_id": cfg.eos_token_id,
+        "pad_token_id": cfg.pad_token_id,
+        "max_length": cfg.max_target_positions,
+        "max_initial_timestamp_index": 50,
+        "return_timestamps": True,
+    }
+    if st is not None:
+        gen["no_timestamps_token_id"] = st.no_timestamps
+    if generation_defaults:
+        gen.update(generation_defaults)
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump(gen, f, indent=2)
     try:
         from safetensors.numpy import save_file
 

@@ -177,3 +177,72 @@ def test_full_pipeline(dataset_dir, tmp_path):
         open(f"{out}/eval_pipeline/runtime_pipeline.jsonl").read().splitlines()[-1]
     )
     assert speed_rec["duration"] == 2.0 and speed_rec["mean"] > 0
+
+
+@pytest.mark.slow
+def test_bilingual_pipeline(dataset_dir, tmp_path):
+    """v3 flow: dual-task pseudo-label -> multi-column filter -> bilingual
+    multitask distillation (run_*_v3.py counterparts)."""
+    from kotoba_whisper_tpu.cli import (
+        create_student,
+        data_filter,
+        distill_bilingual,
+        pseudo_label,
+    )
+
+    out = str(tmp_path)
+    pseudo_label.main([
+        "--dataset_dir", dataset_dir,
+        "--output_dir", f"{out}/labels",
+        "--model", "preset:test-byte",
+        "--tokenizer", "byte",
+        "--batch_size", "3",
+        "--max_label_length", "20",
+        "--dtype", "float32",
+        "--text_lang_task", "ja:transcribe,en:translate",
+    ])
+    rows = [json.loads(l) for l in open(f"{out}/labels/pseudo_labels.jsonl")]
+    assert "whisper_transcript/transcribe.ja" in rows[0]
+    assert "whisper_transcript/translate.en" in rows[0]
+
+    data_filter.main([
+        "--dataset_dir", dataset_dir,
+        "--labels", f"{out}/labels/pseudo_labels.jsonl",
+        "--output_dir", f"{out}/filtered",
+        "--tokenizer", "byte",
+        "--skip_filtering",
+        "--max_label_length", "32",
+        "--label_column",
+        "whisper_transcript/transcribe.ja,whisper_transcript/translate.en",
+    ])
+    filt = [json.loads(l) for l in open(f"{out}/filtered/filtered.jsonl")]
+    assert len(filt) == 6
+    assert "labels/transcribe.ja" in filt[0] and "labels/translate.en" in filt[0]
+
+    create_student.main([
+        "--teacher", "preset:test-byte",
+        "--save_dir", f"{out}/student",
+        "--decoder_layers", "1",
+    ])
+    distill_bilingual.main([
+        "--dataset", f"ja:{out}/filtered:transcribe.ja+translate.en:kl",
+        "--student", f"{out}/student",
+        "--teacher", "preset:test-byte",
+        "--output_dir", f"{out}/bilingual",
+        "--tokenizer", "byte",
+        "--per_dataset_batch_size", "2",
+        "--max_steps", "2",
+        "--max_label_length", "32",
+        "--warmup_steps", "1",
+        "--logging_steps", "1",
+        "--dtype", "float32",
+    ])
+    assert os.path.exists(f"{out}/bilingual/final/config.json")
+    metrics = [
+        json.loads(l)
+        for l in open(f"{out}/bilingual/metrics.bilingual.jsonl")
+    ]
+    keys = set(metrics[-1])
+    assert "train/ce_loss.transcribe.ja" in keys
+    assert "train/ce_loss.translate.en" in keys
+    assert "train/kl_loss.transcribe.ja" in keys
