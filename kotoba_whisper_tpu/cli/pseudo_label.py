@@ -49,6 +49,9 @@ def main(argv=None) -> None:
                     help="shard range start (idempotent-chunk recipe)")
     ap.add_argument("--chunk_hi", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--kv_dtype", default="compute", choices=["compute", "int8"],
+                    help="int8: per-row-quantized KV caches (halves decode "
+                    "HBM traffic; small logit perturbation)")
     ap.add_argument("--limit", type=int, default=None)
     arg = ap.parse_args(argv)
 
@@ -115,6 +118,7 @@ def main(argv=None) -> None:
                 toks = generate_greedy(
                     params, cfg, mel, opts, tok.special,
                     compute_dtype=compute_dtype, attn_impl=attn_impl,
+                    kv_dtype=arg.kv_dtype,
                 )
             out[key] = np.asarray(toks)
         return out

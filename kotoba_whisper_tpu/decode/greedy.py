@@ -56,7 +56,9 @@ def transcribe_prompt(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "opts", "special", "compute_dtype", "attn_impl"),
+    static_argnames=(
+        "cfg", "opts", "special", "compute_dtype", "attn_impl", "kv_dtype"
+    ),
 )
 def generate_greedy(
     params,
@@ -67,6 +69,7 @@ def generate_greedy(
     *,
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
+    kv_dtype: str = "compute",
 ) -> jax.Array:
     """(B, n_mels, 3000) -> (B, max_length) token ids.
 
@@ -87,7 +90,8 @@ def generate_greedy(
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
     cache = whisper.init_cache(
-        params, cfg, encoder_out, capacity=max_len, compute_dtype=compute_dtype
+        params, cfg, encoder_out, capacity=max_len,
+        compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
 
     tokens = jnp.full((b, max_len), pad, jnp.int32)

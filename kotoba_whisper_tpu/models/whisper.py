@@ -247,6 +247,11 @@ class KVCache(NamedTuple):
     footprint AND the per-step read traffic of the cross cache — the
     dominant cost of incremental decode (measured via xprof; see
     ops/decode_attention.py). length: current fill (lockstep batch).
+
+    Optional int8 mode (kv_dtype="int8"): K/V stored int8 with per-row
+    absmax scales (L, B, T, 1) fp32 — halves the decode loop's dominant
+    HBM traffic; scales fold losslessly into the block-diagonal attention
+    (scores *= k_scale, weights *= v_scale before the V reduce).
     """
 
     self_k: jax.Array
@@ -254,6 +259,22 @@ class KVCache(NamedTuple):
     cross_k: jax.Array
     cross_v: jax.Array
     length: jax.Array
+    self_k_scale: jax.Array | None = None
+    self_v_scale: jax.Array | None = None
+    cross_k_scale: jax.Array | None = None
+    cross_v_scale: jax.Array | None = None
+
+    @property
+    def is_int8(self) -> bool:
+        return self.cross_k_scale is not None
+
+
+def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., T, D) -> (int8 values, fp32 per-row scale (..., T, 1))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
 
 
 def init_cache(
@@ -263,6 +284,7 @@ def init_cache(
     capacity: int,
     *,
     compute_dtype=jnp.float32,
+    kv_dtype: str = "compute",  # "compute" | "int8"
 ) -> KVCache:
     dec = params["decoder"]
     b = encoder_out.shape[0]
@@ -278,6 +300,16 @@ def init_cache(
         return k_flat, v_flat
 
     cross_k, cross_v = jax.vmap(cross_kv, in_axes=0, out_axes=0)(dec["layers"])
+    if kv_dtype == "int8":
+        l = cfg.decoder_layers
+        cross_k, ck_s = quantize_kv_rows(cross_k)
+        cross_v, cv_s = quantize_kv_rows(cross_v)
+        zeros = jnp.zeros((l, b, capacity, cfg.d_model), jnp.int8)
+        zscale = jnp.ones((l, b, capacity, 1), jnp.float32)
+        return KVCache(
+            zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
+            zscale, zscale, ck_s, cv_s,
+        )
     zeros = jnp.zeros(
         (cfg.decoder_layers, b, capacity, cfg.d_model), compute_dtype
     )
@@ -367,20 +399,27 @@ def decode(
             <= cache.length + jnp.arange(t)[:, None]
         )[None, None]  # (1, 1, t, capacity)
 
-    def flat_or_ref(q_flat, k_flat, v_flat, valid):
+    int8_kv = cache.is_int8
+
+    def flat_or_ref(q_flat, k_flat, v_flat, valid, k_scale=None, v_scale=None):
         """Single-query attention over a flat KV block."""
         b_, _, d_ = q_flat.shape
         q3 = q_flat.reshape(b_, n_heads, d_ // n_heads)
-        if use_flat_kernel:
+        if use_flat_kernel and k_scale is None:
             o = decode_attention_flat(q3, k_flat, v_flat, valid, n_heads=n_heads)
         else:
             o = decode_attention_reference(
-                q3, k_flat, v_flat, valid, n_heads=n_heads
+                q3, k_flat, v_flat, valid, n_heads=n_heads,
+                k_scale=k_scale, v_scale=v_scale,
             )
         return o.reshape(b_, 1, d_)
 
+    def dequant(vals, scale):
+        return (vals.astype(jnp.float32) * scale).astype(compute_dtype)
+
     def block(x, layer_in):
-        lp, self_k, self_v, cross_k, cross_v = layer_in
+        (lp, self_k, self_v, cross_k, cross_v,
+         sk_s, sv_s, ck_s, cv_s) = layer_in
         h = layer_norm(lp["self_attn_layer_norm"], x, cfg.layer_norm_eps)
         if "qkv_proj" in lp["self_attn"]:
             qkv = dense(lp["self_attn"]["qkv_proj"], h)
@@ -389,6 +428,15 @@ def decode(
             q_flat = dense(lp["self_attn"]["q_proj"], h)
             k_new = dense(lp["self_attn"]["k_proj"], h)
             v_new = dense(lp["self_attn"]["v_proj"], h)
+        if int8_kv:
+            k_new, k_new_s = quantize_kv_rows(k_new)
+            v_new, v_new_s = quantize_kv_rows(v_new)
+            sk_s = jax.lax.dynamic_update_slice_in_dim(
+                sk_s, k_new_s, cache.length, axis=1
+            )
+            sv_s = jax.lax.dynamic_update_slice_in_dim(
+                sv_s, v_new_s, cache.length, axis=1
+            )
         self_k = jax.lax.dynamic_update_slice_in_dim(
             self_k, k_new.astype(self_k.dtype), cache.length, axis=1
         )
@@ -396,12 +444,18 @@ def decode(
             self_v, v_new.astype(self_v.dtype), cache.length, axis=1
         )
         if t == 1:
-            o_flat = flat_or_ref(q_flat, self_k, self_v, cache.length + 1)
+            o_flat = flat_or_ref(
+                q_flat, self_k, self_v, cache.length + 1,
+                k_scale=sk_s if int8_kv else None,
+                v_scale=sv_s if int8_kv else None,
+            )
         else:
+            sk = dequant(self_k, sk_s) if int8_kv else self_k
+            sv = dequant(self_v, sv_s) if int8_kv else self_v
             o = attention(
                 split_heads(q_flat, n_heads),
-                split_heads(self_k, n_heads),
-                split_heads(self_v, n_heads),
+                split_heads(sk, n_heads),
+                split_heads(sv, n_heads),
                 kv_mask,
             )
             o_flat = merge_heads(o)
@@ -411,13 +465,18 @@ def decode(
         q_flat = dense(lp["encoder_attn"]["q_proj"], h)
         if t == 1:
             o_flat = flat_or_ref(
-                q_flat, cross_k, cross_v, jnp.asarray(cross_k.shape[1], jnp.int32)
+                q_flat, cross_k, cross_v,
+                jnp.asarray(cross_k.shape[1], jnp.int32),
+                k_scale=ck_s if int8_kv else None,
+                v_scale=cv_s if int8_kv else None,
             )
         else:
+            ck = dequant(cross_k, ck_s) if int8_kv else cross_k
+            cv = dequant(cross_v, cv_s) if int8_kv else cross_v
             o = attention(
                 split_heads(q_flat, n_heads),
-                split_heads(cross_k, n_heads),
-                split_heads(cross_v, n_heads),
+                split_heads(ck, n_heads),
+                split_heads(cv, n_heads),
             )
             o_flat = merge_heads(o)
         x = x + dense(lp["encoder_attn"]["out_proj"], o_flat)
@@ -425,19 +484,30 @@ def decode(
         h = layer_norm(lp["final_layer_norm"], x, cfg.layer_norm_eps)
         h = jax.nn.gelu(dense(lp["fc1"], h), approximate=False)
         x = x + dense(lp["fc2"], h)
-        return x, (self_k, self_v)
+        return x, (self_k, self_v, sk_s, sv_s)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        block, x,
-        (dec["layers"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
+    ones = jnp.ones((cfg.decoder_layers, b, 1, 1), jnp.float32)
+    scan_in = (
+        dec["layers"], cache.self_k, cache.self_v,
+        cache.cross_k, cache.cross_v,
+        cache.self_k_scale if int8_kv else ones,
+        cache.self_v_scale if int8_kv else ones,
+        cache.cross_k_scale if int8_kv else ones,
+        cache.cross_v_scale if int8_kv else ones,
     )
+    x, (new_k, new_v, new_sk_s, new_sv_s) = jax.lax.scan(block, x, scan_in)
     x = layer_norm(dec["layer_norm"], x, cfg.layer_norm_eps)
     logits = jnp.einsum(
         "btd,vd->btv", x,
         dec["embed_tokens"]["embedding"].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    new_cache = KVCache(new_k, new_v, cache.cross_k, cache.cross_v, cache.length + t)
+    new_cache = KVCache(
+        new_k, new_v, cache.cross_k, cache.cross_v, cache.length + t,
+        new_sk_s if int8_kv else None,
+        new_sv_s if int8_kv else None,
+        cache.cross_k_scale, cache.cross_v_scale,
+    )
     return logits, new_cache
 
 

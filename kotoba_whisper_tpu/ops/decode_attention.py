@@ -56,24 +56,38 @@ def _qd(q: jax.Array, n_heads: int) -> jax.Array:
 # XLA path
 # ---------------------------------------------------------------------------
 
-def decode_attention_reference(q, k_flat, v_flat, valid_len, *, n_heads):
-    """(B,H,hd) x (B,T,dh) -> (B,H,hd); everything on the flat layout."""
+def decode_attention_reference(
+    q, k_flat, v_flat, valid_len, *, n_heads,
+    k_scale=None, v_scale=None,
+):
+    """(B,H,hd) x (B,T,dh) -> (B,H,hd); everything on the flat layout.
+
+    With k_scale/v_scale (B,T,1) given, K/V are int8 per-row-quantized:
+    the scales fold into the score and weight tensors (exact algebra —
+    the only approximation is the quantization itself)."""
     b, t, dh = k_flat.shape
     hd = dh // n_heads
     e = jnp.asarray(_expand_matrix(n_heads, hd))
     qd = _qd(q.astype(jnp.float32), n_heads)        # (B, dh, H)
+    kf = k_flat.astype(jnp.bfloat16) if k_flat.dtype == jnp.int8 else k_flat
     scores = jnp.einsum(
-        "btd,bdh->bth", k_flat.astype(jnp.float32), qd,
+        "btd,bdh->bth", kf.astype(jnp.float32), qd,
         preferred_element_type=jnp.float32,
     )
+    if k_scale is not None:
+        scores = scores * k_scale
     mask = jnp.arange(t)[None, :, None] < valid_len
     scores = jnp.where(mask, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=1)              # softmax over T
+    if v_scale is not None:
+        w = w * v_scale
     w_exp = jnp.einsum(
         "bth,hd->btd", w, e, preferred_element_type=jnp.float32
     )
-    out = jnp.sum(w_exp * v_flat.astype(jnp.float32), axis=1)  # (B, dh)
-    return out.reshape(b, n_heads, hd).astype(q.dtype)
+    vf = v_flat.astype(jnp.bfloat16) if v_flat.dtype == jnp.int8 else v_flat
+    out = jnp.sum(w_exp * vf.astype(jnp.float32), axis=1)  # (B, dh)
+    out_dtype = q.dtype
+    return out.reshape(b, n_heads, hd).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -65,3 +65,62 @@ def test_bf16_path(rng):
         np.asarray(ours, np.float32), np.asarray(golden, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_int8_kv_cache_decode_close_to_fp32(rng):
+    """int8 per-row-quantized KV decode: logits close to fp32 path and
+    greedy tokens identical on a well-separated model."""
+    import jax
+
+    from kotoba_whisper_tpu.models import whisper
+    from tests.test_train import tiny_cfg
+
+    cfg = tiny_cfg()
+    params = whisper.init_params(jax.random.key(2), cfg)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.num_mel_bins, 2 * cfg.max_source_positions)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 6)), jnp.int32)
+    enc = whisper.encode(params, cfg, mel)
+
+    cache_f = whisper.init_cache(params, cfg, enc, capacity=12)
+    cache_q = whisper.init_cache(params, cfg, enc, capacity=12, kv_dtype="int8")
+    assert cache_q.is_int8 and not cache_f.is_int8
+    assert cache_q.cross_k.dtype == jnp.int8
+
+    # stepwise decode through both caches
+    lf = lq = None
+    for i in range(6):
+        lf, cache_f = whisper.decode(params, cfg, ids[:, i : i + 1], cache=cache_f)
+        lq, cache_q = whisper.decode(params, cfg, ids[:, i : i + 1], cache=cache_q)
+    lf = np.asarray(lf)[:, 0]
+    lq = np.asarray(lq)[:, 0]
+    # int8 KV introduces small perturbations; logits stay close and the
+    # argmax agrees
+    np.testing.assert_allclose(lq, lf, atol=0.08, rtol=0.05)
+    np.testing.assert_array_equal(lq.argmax(-1), lf.argmax(-1))
+
+
+def test_int8_prefill_path(rng):
+    """Multi-token prefill through an int8 cache (dequantized attention)."""
+    import jax
+
+    from kotoba_whisper_tpu.models import whisper
+    from tests.test_train import tiny_cfg
+
+    cfg = tiny_cfg()
+    params = whisper.init_params(jax.random.key(2), cfg)
+    mel = jnp.asarray(
+        rng.standard_normal((1, cfg.num_mel_bins, 2 * cfg.max_source_positions)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (1, 5)), jnp.int32)
+    enc = whisper.encode(params, cfg, mel)
+    golden = whisper.decode(params, cfg, ids, enc)
+    cache_q = whisper.init_cache(params, cfg, enc, capacity=12, kv_dtype="int8")
+    lq, cache_q = whisper.decode(params, cfg, ids, cache=cache_q)
+    np.testing.assert_allclose(
+        np.asarray(lq), np.asarray(golden), atol=0.08, rtol=0.05
+    )
+    assert int(cache_q.length) == 5
