@@ -40,10 +40,15 @@ def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         cfg = PRESETS["large-v3"]
-        batch, n_tokens, trials = 32, 48, 3
+        batch, n_tokens, trials = 48, 48, 3
+        kv_dtype = "int8"  # per-row-quantized KV cache: halves the decode
+        # loop's dominant HBM traffic and frees HBM for B=48; logit
+        # perturbation is bounded by tests (argmax-stable on test models)
+        # and the flag is opt-in in the production drivers (--kv_dtype)
     else:  # CPU smoke path so the bench always emits a record
         cfg = PRESETS["test-tiny"]
         batch, n_tokens, trials = 2, 16, 1
+        kv_dtype = "compute"
 
     st = SpecialTokens.for_vocab(cfg.vocab_size)
     feat = FeatureConfig(n_mels=cfg.num_mel_bins)
@@ -66,7 +71,8 @@ def main() -> None:
     def pipeline(params, audio):
         mel = log_mel_spectrogram(audio, feat).astype(jnp.bfloat16)
         return generate_greedy(
-            params, cfg, mel, opts, st_bench, compute_dtype=jnp.bfloat16
+            params, cfg, mel, opts, st_bench,
+            compute_dtype=jnp.bfloat16, kv_dtype=kv_dtype,
         )
 
     # warmup/compile

@@ -222,3 +222,49 @@ def test_greedy_matches_hf_generate(rng):
         n_total += g_eot
         n_match += sum(a == c for a, c in zip(o[:g_eot], g[:g_eot]))
     assert n_match / max(n_total, 1) > 0.7, f"{n_match}/{n_total} tokens match"
+
+
+@pytest.mark.parametrize("n_sampled", [0, 1, 4])
+def test_suppress_lists_match_hf_composition(rng, n_sampled):
+    """Global + at-begin suppress lists composed with the timestamp rules,
+    vs HF's SuppressTokens / SuppressTokensAtBegin / TimeStamp processors
+    applied in generate()'s order."""
+    begin_index = 3
+    b = 4
+    suppress = (220, 366, 438, 532, 50362)
+    begin_suppress = (220, ST.eot)
+    cur_len = begin_index + n_sampled
+    rows, _ = _random_sequences(rng, b, [cur_len] * b, begin_index)
+    tokens = np.asarray(rows, dtype=np.int64)
+    logits = rng.standard_normal((b, VOCAB)).astype(np.float32) * 3.0
+
+    sup_proc = trf.generation.SuppressTokensLogitsProcessor(
+        list(suppress), device="cpu"
+    )
+    begin_proc = trf.generation.SuppressTokensAtBeginLogitsProcessor(
+        list(begin_suppress), begin_index, device="cpu"
+    )
+    ts_proc = _hf_ts_processor(begin_index)
+    scores = torch.from_numpy(logits.copy())
+    t_tokens = torch.from_numpy(tokens)
+    # generate() applies suppress processors before the timestamp processor
+    scores = sup_proc(t_tokens, scores)
+    scores = begin_proc(t_tokens, scores)
+    golden = ts_proc(t_tokens, scores).numpy()
+
+    buf = np.zeros((b, cur_len + 8), np.int32)
+    buf[:, :cur_len] = tokens
+    rc = RuleConfig(
+        special=ST,
+        begin_index=begin_index,
+        suppress_tokens=suppress,
+        begin_suppress_tokens=begin_suppress,
+    )
+    ours = np.asarray(
+        apply_rules(
+            jnp.asarray(logits), jnp.asarray(buf), jnp.asarray(cur_len), rc
+        )
+    )
+    np.testing.assert_array_equal(np.isinf(ours), np.isinf(golden))
+    finite = ~np.isinf(golden)
+    np.testing.assert_allclose(ours[finite], golden[finite], atol=1e-5)
