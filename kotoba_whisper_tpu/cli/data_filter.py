@@ -97,7 +97,11 @@ def main(argv=None) -> None:
             ):
                 n_wer_dropped += 1
                 continue
-        audio, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
+        try:
+            audio, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
+        except ValueError:
+            n_len_dropped += 1
+            continue
         labels_by_col = {
             c: preps[c].prepare(ids) for c, ids in col_ids.items()
         }

@@ -144,12 +144,21 @@ def main(argv=None) -> None:
         host work overlaps device compute (the reference's chunk-N+1
         double-buffering, script/distil_whisper_v2.0.sh:72-84, done
         in-process)."""
+        import sys
+
         for batch in common.batched(utts, arg.batch_size):
-            audio = []
+            good, audio = [], []
             for u in batch:
-                wav, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
+                try:
+                    wav, _ = native.decode_audio(u.audio_bytes, feat.sampling_rate)
+                except ValueError:
+                    print(f"warning: skipping undecodable audio {u.name}",
+                          file=sys.stderr)
+                    continue
+                good.append(u)
                 audio.append(wav)
-            yield batch, audio, collate_audio(audio, ccfg)
+            if good:
+                yield good, audio, collate_audio(audio, ccfg)
 
     def rows():
         nonlocal n_done

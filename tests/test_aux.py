@@ -193,3 +193,21 @@ def test_safe_publish_atomic(tmp_path):
     assert list_artifacts(str(tmp_path / "store")) == ["dataset_v1"]
     delete_artifacts(str(tmp_path / "store"), ["dataset_v1"])
     assert list_artifacts(str(tmp_path / "store")) == []
+
+
+def test_debug_utilities():
+    import jax.numpy as jnp
+
+    from kotoba_whisper_tpu.utils.debug import (
+        assert_params_in_sync,
+        find_nonfinite,
+        tree_checksum,
+    )
+
+    tree = {"a": jnp.ones((4, 4)), "b": {"c": jnp.full((2,), 2.0)}}
+    cs = tree_checksum(tree)
+    assert cs == pytest.approx(20.0)
+    assert assert_params_in_sync(tree) == pytest.approx(20.0)
+    tree["b"]["c"] = jnp.asarray([jnp.nan, 1.0])
+    bad = find_nonfinite(tree)
+    assert len(bad) == 1 and "c" in bad[0]
