@@ -63,7 +63,12 @@ class EnglishTextNormalizer:
     as-is, matching the metric-relevant common cases)."""
 
     def __init__(self, english_spelling_mapping: Mapping[str, str] | None = None):
+        from kotoba_whisper_tpu.eval.number_normalizer import (
+            EnglishNumberNormalizer,
+        )
+
         self.spelling = dict(english_spelling_mapping or {})
+        self.number_normalizer = EnglishNumberNormalizer()
         self.ignore_patterns = (
             r"\b(hmm|mm|mhm|mmm|uh|um)\b"
         )
@@ -134,6 +139,7 @@ class EnglishTextNormalizer:
         s = re.sub(r"(\d),(\d)", r"\1\2", s)  # digit-group commas
         s = re.sub(r"\.([^0-9]|$)", r" \1", s)  # periods not in numbers
         s = remove_symbols_and_diacritics(s, keep=".%$¢€£")
+        s = self.number_normalizer(s)
         if self.spelling:
             s = " ".join(self.spelling.get(w, w) for w in s.split())
         s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)  # symbols not touching digits
