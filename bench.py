@@ -28,6 +28,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from kotoba_whisper_tpu.utils.backend import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from kotoba_whisper_tpu.core.config import (
         FeatureConfig,
         PRESETS,

@@ -11,12 +11,37 @@ retry-forever loops, SURVEY.md §5.3).
 """
 from __future__ import annotations
 
+import os
 import sys
+
+
+def enable_compilation_cache(
+    cache_dir: str | None = None, min_compile_secs: float = 2.0
+) -> None:
+    """Persistent XLA compilation cache: large-model TPU compiles cost
+    minutes through this environment's remote-compile service; the cache
+    makes re-runs (pipeline stages, bench, resumed jobs) near-instant.
+    Override location with KWT_COMPILE_CACHE; disable with
+    KWT_COMPILE_CACHE=off."""
+    import jax
+
+    env = os.environ.get("KWT_COMPILE_CACHE")
+    if env == "off":
+        return
+    cache_dir = env or cache_dir or os.path.expanduser("~/.cache/kwt_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"warning: compilation cache unavailable: {e}", file=sys.stderr)
 
 
 def ensure_backend(allow_cpu_fallback: bool = True) -> str:
     import jax
 
+    enable_compilation_cache()
     try:
         return jax.devices()[0].platform
     except RuntimeError as e:

@@ -107,3 +107,49 @@ def test_standalone_sanity():
     assert n("double oh seven") == "007"
     assert n("one hundred") == "100"
     assert n("plain words stay put") == "plain words stay put"
+
+
+def test_fuzz_agreement_with_hf(hf_norm):
+    """Grammar-fuzzed phrases: high agreement with HF. Divergences are
+    confined to malformed run-on juxtapositions ("two point three six eight
+    point seven eight") where the reference's own output is degenerate;
+    well-formed numbers must match exactly (curated corpus above)."""
+    import random
+
+    from kotoba_whisper_tpu.eval.number_normalizer import (
+        EnglishNumberNormalizer,
+    )
+
+    mine = EnglishNumberNormalizer()
+    rng = random.Random(0)
+    ones = "one two three four five six seven eight nine".split()
+    teens = ("ten eleven twelve thirteen fourteen fifteen sixteen "
+             "seventeen eighteen nineteen").split()
+    tens = "twenty thirty forty fifty sixty seventy eighty ninety".split()
+    fill = "the a cat runs quickly and then some".split()
+
+    def gen_number():
+        kind = rng.randrange(6)
+        if kind == 0:
+            return f"{rng.choice(tens)} {rng.choice(ones)}"
+        if kind == 1:
+            return (f"{rng.choice(ones)} hundred and {rng.choice(tens)} "
+                    f"{rng.choice(ones)}")
+        if kind == 2:
+            return f"{rng.choice(teens)} {rng.choice(tens)}"
+        if kind == 3:
+            return f"{rng.choice(ones)} thousand {rng.choice(ones)} hundred"
+        if kind == 4:
+            return f"{rng.choice(ones)} point {rng.choice(ones)} {rng.choice(ones)}"
+        return rng.choice(tens)
+
+    total, match = 400, 0
+    for _ in range(total):
+        parts = [
+            rng.choice(fill) if rng.random() < 0.4 else gen_number()
+            for _ in range(rng.randrange(1, 4))
+        ]
+        s = " ".join(parts)
+        if mine(s) == hf_norm(s):
+            match += 1
+    assert match / total >= 0.90, f"{match}/{total}"
