@@ -18,6 +18,10 @@ STAGES = {
     "eval": ("kotoba_whisper_tpu.cli.eval_short_form", "short-form CER/WER eval"),
     "speed": ("kotoba_whisper_tpu.cli.eval_speed", "latency benchmark"),
     "report": ("kotoba_whisper_tpu.eval.report", "markdown metric pivot"),
+    "parity-check": (
+        "kotoba_whisper_tpu.cli.parity_check",
+        "token/logit parity vs the reference stack on real weights",
+    ),
 }
 
 

@@ -23,13 +23,25 @@ from kotoba_whisper_tpu.tokenizer.whisper_tokenizer import WhisperTokenizer
 
 
 def load_tokenizer(spec: str) -> WhisperTokenizer:
-    """'byte' | 'byte:<vocab_size>' | path to dir with vocab.json+merges.txt."""
+    """'byte' | 'byte:<vocab_size>' | path to dir with vocab.json+merges.txt.
+
+    For vocab-file dirs the language count comes from the checkpoint's
+    config.json vocab_size when present (51866 -> 100 langs, v3), falling
+    back to a 'v3' marker in the path, else the 99-language v2 layout."""
     if spec == "byte":
         return WhisperTokenizer.byte_vocab()
     if spec.startswith("byte:"):
         return WhisperTokenizer.byte_vocab(int(spec.split(":", 1)[1]))
     n_langs = 100 if "v3" in spec else 99
-    return WhisperTokenizer.from_pretrained_dir(spec)
+    cfg_path = os.path.join(spec, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            vocab_size = json.load(f).get("vocab_size")
+        if vocab_size == 51866:
+            n_langs = 100
+        elif vocab_size == 51865:
+            n_langs = 99
+    return WhisperTokenizer.from_pretrained_dir(spec, n_langs=n_langs)
 
 
 def load_model(spec: str, seed: int = 0):

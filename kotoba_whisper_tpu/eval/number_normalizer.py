@@ -63,12 +63,6 @@ def _ordinal_suffix(n: int) -> str:
     return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
 
 
-def _magnitude(v: int) -> int:
-    """Smallest power of 10 strictly greater than v (group width)."""
-    m = 1
-    while m <= v:
-        m *= 10
-    return m
 
 
 class _Group:

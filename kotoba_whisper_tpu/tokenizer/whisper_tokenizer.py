@@ -183,9 +183,11 @@ class WhisperTokenizer:
         return cls(id_to_bytes, merges, n_langs=n_langs)
 
     @classmethod
-    def from_pretrained_dir(cls, path: str) -> "WhisperTokenizer":
+    def from_pretrained_dir(cls, path: str, n_langs: int = 99) -> "WhisperTokenizer":
         return cls.from_files(
-            os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt")
+            os.path.join(path, "vocab.json"),
+            os.path.join(path, "merges.txt"),
+            n_langs=n_langs,
         )
 
     @classmethod
