@@ -18,6 +18,10 @@ STAGES = {
     "eval": ("kotoba_whisper_tpu.cli.eval_short_form", "short-form CER/WER eval"),
     "speed": ("kotoba_whisper_tpu.cli.eval_speed", "latency benchmark"),
     "report": ("kotoba_whisper_tpu.eval.report", "markdown metric pivot"),
+    "prepare-eval-set": (
+        "kotoba_whisper_tpu.cli.prepare_eval_set",
+        "materialize an eval dataset into the tar+tsv layout",
+    ),
     "parity-check": (
         "kotoba_whisper_tpu.cli.parity_check",
         "token/logit parity vs the reference stack on real weights",

@@ -63,3 +63,44 @@ def test_eval_set_autodetect_manifest(tmp_path, rng):
     assert len(examples) == 1
     assert examples[0].text == "hello"
     assert len(examples[0].audio) == 1600
+
+
+def test_prepare_eval_set_roundtrip(tmp_path, rng):
+    """manifest layout -> tar+tsv layout -> eval_sets reads it back."""
+    import json as _json
+
+    import numpy as np
+
+    from kotoba_whisper_tpu.cli import prepare_eval_set
+    from kotoba_whisper_tpu.data.eval_sets import iter_eval_set
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import struct
+
+    def wav(a, sr=16000):
+        pcm = (np.clip(a, -1, 1) * 32767).astype("<i2").tobytes()
+        return struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+            16, 1, 1, sr, sr * 2, 2, 16, b"data", len(pcm),
+        ) + pcm
+
+    rows = []
+    for i in range(5):
+        (src / f"u{i}.wav").write_bytes(wav(rng.standard_normal(800) * 0.1))
+        rows.append({"audio": f"u{i}.wav", "text": f"utterance {i}"})
+    (src / "manifest.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+
+    dst = str(tmp_path / "dst")
+    prepare_eval_set.main([
+        "--input", str(src), "--output_dir", dst, "--shard_size", "2",
+    ])
+    back = list(iter_eval_set(dst))
+    assert len(back) == 5
+    assert back[0].text == "utterance 0"
+    assert len(back[0].audio) == 800
+    import os
+
+    assert len([f for f in os.listdir(dst) if f.endswith(".tar")]) == 3
