@@ -21,6 +21,8 @@ def main(argv=None) -> None:
     ap.add_argument("--num_beams", type=int, default=1)
     ap.add_argument("--output_dir", default="eval_pipeline")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--kv_dtype", default="compute",
+                    choices=["compute", "int8"])
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--punctuator", action="store_true",
                     help="apply the punctuation add-on to pipeline chunks "
@@ -53,7 +55,7 @@ def main(argv=None) -> None:
         **gen_defaults,
         language=arg.language, task=arg.task,
         chunk_length_s=arg.chunk_length_s, num_beams=arg.num_beams,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, kv_dtype=arg.kv_dtype,
         attn_impl="pallas" if jax.default_backend() == "tpu" else "xla",
     )
 

@@ -19,6 +19,8 @@ def main(argv=None) -> None:
     ap.add_argument("--attn", default=None, choices=[None, "xla", "pallas"])
     ap.add_argument("--output", default="eval_pipeline/runtime_pipeline.jsonl")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--kv_dtype", default="compute",
+                    choices=["compute", "int8"])
     arg = ap.parse_args(argv)
 
     import jax
@@ -43,7 +45,7 @@ def main(argv=None) -> None:
         params=params, cfg=cfg, tok=tok,
         **gen_defaults,
         chunk_length_s=arg.chunk_length_s, compute_dtype=compute_dtype,
-        attn_impl=attn,
+        attn_impl=attn, kv_dtype=arg.kv_dtype,
     )
     records = evaluate_speed(
         pipe.transcribe,
