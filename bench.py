@@ -6,6 +6,12 @@ log-mel -> encoder -> greedy decode for a fixed 48 tokens (early-exit
 disabled so the measurement is deterministic; real pseudo-labels average ~25
 tokens per misc/data_statistics.json, so 48 is conservative).
 
+Robustness: this environment's remote-compile service can be slow or wedge
+on the largest programs, so the headline config (int8 KV, B=48 — measured
+748 audio-s/s/chip) runs in a watchdog subprocess; on timeout/failure the
+bench falls back to the exact-bf16 B=32 config (measured 482) rather than
+hanging the harness.
+
 vs_baseline compares against the reference stack's single-stream latency for
 30 s audio on its CUDA GPU (0.184 s -> 163 audio-s/s,
 eval_pipeline/runtime_pipeline.jsonl) — the only speed number the reference
@@ -18,19 +24,26 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+CONFIGS = {
+    # name: (batch, n_tokens, trials, kv_dtype)
+    "int8-48": (48, 48, 3, "int8"),
+    "bf16-32": (32, 48, 3, "compute"),
+    "cpu-smoke": (2, 16, 1, "compute"),
+}
+BASELINE_RATE = 30.0 / 0.184  # reference large-v3, 30 s utterance, cuda:0
+WATCHDOG_SECS = int(os.environ.get("KWT_BENCH_TIMEOUT", "1500"))
 
-def main() -> None:
+
+def run_config(name: str) -> None:
     import jax
     import jax.numpy as jnp
-
-    from kotoba_whisper_tpu.utils.backend import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from kotoba_whisper_tpu.core.config import (
         FeatureConfig,
@@ -41,18 +54,8 @@ def main() -> None:
     from kotoba_whisper_tpu.models import whisper
     from kotoba_whisper_tpu.ops.mel import log_mel_spectrogram
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
-        cfg = PRESETS["large-v3"]
-        batch, n_tokens, trials = 48, 48, 3
-        kv_dtype = "int8"  # per-row-quantized KV cache: halves the decode
-        # loop's dominant HBM traffic and frees HBM for B=48; logit
-        # perturbation is bounded by tests (argmax-stable on test models)
-        # and the flag is opt-in in the production drivers (--kv_dtype)
-    else:  # CPU smoke path so the bench always emits a record
-        cfg = PRESETS["test-tiny"]
-        batch, n_tokens, trials = 2, 16, 1
-        kv_dtype = "compute"
+    batch, n_tokens, trials, kv_dtype = CONFIGS[name]
+    cfg = PRESETS["large-v3" if name != "cpu-smoke" else "test-tiny"]
 
     st = SpecialTokens.for_vocab(cfg.vocab_size)
     feat = FeatureConfig(n_mels=cfg.num_mel_bins)
@@ -66,9 +69,7 @@ def main() -> None:
     )
 
     prompt = (st.sot, st.lang_begin + 6, st.transcribe)  # <|ja|> transcribe
-    opts = GenerateOptions(
-        prompt_ids=prompt, max_length=len(prompt) + n_tokens
-    )
+    opts = GenerateOptions(prompt_ids=prompt, max_length=len(prompt) + n_tokens)
     # fixed-length decode: point the early-exit at an unreachable token id
     st_bench = dataclasses.replace(st, eot=-1)
 
@@ -79,8 +80,7 @@ def main() -> None:
             compute_dtype=jnp.bfloat16, kv_dtype=kv_dtype,
         )
 
-    # warmup/compile
-    tokens = pipeline(params, audio)
+    tokens = pipeline(params, audio)  # warmup/compile
     jax.block_until_ready(tokens)
 
     times = []
@@ -90,20 +90,55 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = float(np.mean(times))
 
-    audio_seconds = batch * feat.chunk_length_s
-    value = audio_seconds / dt
-    baseline = 30.0 / 0.184  # reference large-v3, 30 s utterance, cuda:0
+    value = batch * feat.chunk_length_s / dt
     print(
         json.dumps(
             {
                 "metric": "pseudo_label_audio_seconds_per_s_per_chip",
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
-                "vs_baseline": round(value / baseline, 3),
+                "vs_baseline": round(value / BASELINE_RATE, 3),
             }
         )
     )
 
 
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--config":
+        run_config(sys.argv[2])
+        return
+
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        run_config("cpu-smoke")
+        return
+
+    for name in ("int8-48", "bf16-32"):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config", name],
+                timeout=WATCHDOG_SECS,
+                capture_output=True,
+                text=True,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith('{"metric"'):
+                    print(line)
+                    return
+            print(
+                f"bench config {name} produced no record "
+                f"(rc={out.returncode}): {out.stderr[-400:]}",
+                file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench config {name} timed out after {WATCHDOG_SECS}s; "
+                "falling back",
+                file=sys.stderr,
+            )
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -21,14 +21,21 @@ def enable_compilation_cache(
     """Persistent XLA compilation cache: large-model TPU compiles cost
     minutes through this environment's remote-compile service; the cache
     makes re-runs (pipeline stages, bench, resumed jobs) near-instant.
-    Override location with KWT_COMPILE_CACHE; disable with
-    KWT_COMPILE_CACHE=off."""
+
+    OPT-IN: set KWT_COMPILE_CACHE=on (default dir ~/.cache/kwt_xla) or to a
+    directory path. Off by default because this environment's remote-compile
+    service has been observed to wedge on the largest cache-serialized
+    programs; on standard TPU hosts it is safe to enable."""
     import jax
 
     env = os.environ.get("KWT_COMPILE_CACHE")
-    if env == "off":
+    if not env or env == "off":
         return
-    cache_dir = env or cache_dir or os.path.expanduser("~/.cache/kwt_xla")
+    cache_dir = (
+        (env if env != "on" else None)
+        or cache_dir
+        or os.path.expanduser("~/.cache/kwt_xla")
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(
