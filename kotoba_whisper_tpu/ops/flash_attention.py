@@ -1,25 +1,28 @@
-"""Pallas TPU flash attention (forward) with online softmax.
+"""Pallas TPU flash attention (forward + backward) with online softmax.
 
 The named north-star kernel replacing the reference stack's flash-attn CUDA
 kernels (`attn_implementation="flash_attention_2"`,
 script/distil_whisper_v2.0.sh:156; SURVEY.md §2.2): the encoder's 1500-frame
 self-attention would otherwise materialize (B, H, 1500, 1500) score tensors
-in HBM — this kernel keeps the running max/sum/accumulator in VMEM and
-streams K/V blocks, so HBM traffic is O(T·D) instead of O(T²).
+in HBM — these kernels keep the running max/sum/accumulator in VMEM and
+stream K/V blocks, so HBM traffic is O(T·D) instead of O(T²).
 
 Design:
   - inputs (B, T, H, D) are reshaped to (B·H, T, D); grid =
-    (B·H, ceil(Tq/BQ)); the kernel loops K/V blocks with lax.fori_loop;
-  - causal masking skips fully-masked K blocks (the loop upper bound is
-    derived from the Q block index);
-  - sequence padding is masked via a scalar valid-length (SMEM) so callers
-    can pad T to a lane multiple without changing results;
-  - fp32 accumulation regardless of input dtype (bf16 in production);
-  - backward: custom_vjp recomputes attention with the XLA path — exact
-    same math, trades HBM for FLOPs (flash backward kernel is future work).
+    (B·H, ceil(T/BLOCK)); kernels loop the opposite axis with lax.fori_loop;
+  - forward also emits the per-row logsumexp L = m + log(l), the residual
+    the backward pass needs to recompute P tiles without re-running softmax;
+  - backward is the standard two-kernel split: one grid over Q blocks
+    producing dQ, one over K/V blocks producing dK and dV, both streaming
+    the opposite operand; D = rowsum(dO ⊙ O) is a cheap XLA elementwise
+    reduce outside the kernels;
+  - causal masking skips fully-masked blocks (loop bounds derived from the
+    block index); sequence padding is masked via a scalar valid length;
+  - fp32 accumulation regardless of input dtype (bf16 in production).
 
-On non-TPU backends the kernel runs in interpreter mode (tests), so the
-same code path is exercised everywhere.
+On non-TPU backends the kernels run in interpreter mode (tests), so the
+same code path is exercised everywhere; gradients are verified against the
+XLA attention's autodiff.
 """
 from __future__ import annotations
 
@@ -30,23 +33,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kotoba_whisper_tpu.ops.attention import attention_xla
-
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 NEG_INF = -1.0e30
 
 
-def _attn_kernel(
-    valid_len_ref,  # SMEM (1,)
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    valid_len_ref,
     q_ref,          # (BQ, D)
     k_ref,          # (Tk_padded, D)
     v_ref,          # (Tk_padded, D)
     o_ref,          # (BQ, D)
+    lse_ref,        # (BQ, 1) logsumexp residual
     *,
     block_k: int,
     causal: bool,
     scale: float,
+    offset: int,
 ):
     bq, d = q_ref.shape
     tk = k_ref.shape[0]
@@ -57,11 +64,8 @@ def _attn_kernel(
 
     num_k_blocks = tk // block_k
     if causal:
-        # K block j is relevant while j*block_k <= q_end
-        q_end = (q_block + 1) * bq
-        num_k_blocks = jnp.minimum(
-            num_k_blocks, pl.cdiv(q_end, block_k)
-        )
+        q_end = (q_block + 1) * bq + offset
+        num_k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(q_end, block_k))
 
     def body(j, carry):
         acc, m_prev, l_prev = carry
@@ -77,7 +81,7 @@ def _attn_kernel(
             q_pos = q_block * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), dimension=0
             )
-            mask = mask & (k_pos <= q_pos)
+            mask = mask & (k_pos <= q_pos + offset)
         s = jnp.where(mask, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -94,97 +98,317 @@ def _attn_kernel(
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc, m0, l0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[:] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(l_safe)
 
+
+# ---------------------------------------------------------------------------
+# backward: dQ kernel (grid over Q blocks, loops K blocks)
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(
+    valid_len_ref,
+    q_ref,       # (BQ, D)
+    k_ref,       # (Tk_p, D)
+    v_ref,       # (Tk_p, D)
+    do_ref,      # (BQ, D)
+    lse_ref,     # (BQ, 1)
+    delta_ref,   # (BQ, 1)  D_i = rowsum(dO * O)
+    dq_ref,      # (BQ, D)
+    *,
+    block_k: int,
+    causal: bool,
+    scale: float,
+    offset: int,
+):
+    bq, d = q_ref.shape
+    tk = k_ref.shape[0]
+    q_block = pl.program_id(1)
+    valid_len = valid_len_ref[0]
+
+    q = q_ref[:].astype(jnp.float32) * scale
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:]
+    delta = delta_ref[:]
+
+    num_k_blocks = tk // block_k
+    if causal:
+        q_end = (q_block + 1) * bq + offset
+        num_k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(q_end, block_k))
+
+    def body(j, dq):
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), dimension=1
+        )
+        mask = k_pos < valid_len
+        if causal:
+            q_pos = q_block * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), dimension=0
+            )
+            mask = mask & (k_pos <= q_pos + offset)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse)                              # (BQ, BK)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward: dK/dV kernel (grid over K blocks, loops Q blocks)
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(
+    valid_len_ref,
+    q_ref,       # (Tq_p, D)
+    k_ref,       # (BK, D)
+    v_ref,       # (BK, D)
+    do_ref,      # (Tq_p, D)
+    lse_ref,     # (Tq_p, 1)
+    delta_ref,   # (Tq_p, 1)
+    dk_ref,      # (BK, D)
+    dv_ref,      # (BK, D)
+    *,
+    block_q: int,
+    causal: bool,
+    scale: float,
+    offset: int,
+):
+    bk, d = k_ref.shape
+    tq = q_ref.shape[0]
+    k_block = pl.program_id(1)
+    valid_len = valid_len_ref[0]
+
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+
+    num_q_blocks = tq // block_q
+    q_start_block = 0
+    if causal:
+        # rows before this K block's start (shifted by the end-alignment
+        # offset) are fully masked
+        q_start_block = jnp.maximum(k_block * bk - offset, 0) // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
+        do_blk = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[pl.ds(i * block_q, block_q), :]
+        delta_blk = delta_ref[pl.ds(i * block_q, block_q), :]
+
+        s = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        k_pos = k_block * bk + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, bk), dimension=1
+        )
+        mask = k_pos < valid_len
+        if causal:
+            q_pos = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), dimension=0
+            )
+            mask = mask & (k_pos <= q_pos + offset)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse_blk)
+        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_blk)
+        dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    zeros = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(q_start_block, num_q_blocks, body, (zeros, zeros))
+    dk_ref[:] = dk.astype(dk_ref.dtype)  # q already carries the scale
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side plumbing
+# ---------------------------------------------------------------------------
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pad_t(x, t_pad):
+    t = x.shape[1]
+    return x if t == t_pad else jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+
 @functools.partial(
     jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
 )
-def _flash_fwd(
-    q: jax.Array,  # (BH, Tq, D)
-    k: jax.Array,  # (BH, Tk, D)
-    v: jax.Array,
-    *,
-    causal: bool,
-    block_q: int,
-    block_k: int,
-    interpret: bool,
-) -> jax.Array:
+def _flash_fwd(q, k, v, *, causal, block_q, block_k, interpret):
     bh, tq, d = q.shape
     tk = k.shape[1]
     scale = 1.0 / (d**0.5)
-
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
-    if tq_p != tq:
-        q = jnp.pad(q, ((0, 0), (0, tq_p - tq), (0, 0)))
-    if tk_p != tk:
-        k = jnp.pad(k, ((0, 0), (0, tk_p - tk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, tk_p - tk), (0, 0)))
-
+    q, k, v = _pad_t(q, tq_p), _pad_t(k, tk_p), _pad_t(v, tk_p)
     valid_len = jnp.full((1,), tk, jnp.int32)
-    grid = (bh, tq_p // block_q)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
-            _attn_kernel, block_k=block_k, causal=causal, scale=scale
+            _fwd_kernel, block_k=block_k, causal=causal, scale=scale,
+            offset=tk - tq,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(bh, tq_p // block_q),
             in_specs=[
-                pl.BlockSpec(
-                    (None, block_q, d), lambda i, j, *_: (i, j, 0)
-                ),
+                pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
                 pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
                 pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (None, block_q, d), lambda i, j, *_: (i, j, 0)
+            out_specs=(
+                pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((None, block_q, 1), lambda i, j, *_: (i, j, 0)),
             ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tq_p, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(valid_len, q, k, v)
+    return out[:, :tq], lse[:, :tq]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def _flash_bwd(q, k, v, out, lse, do, *, causal, block_q, block_k, interpret):
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+    tq_p = _round_up(tq, block_q)
+    tk_p = _round_up(tk, block_k)
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    qp, dop = _pad_t(q, tq_p), _pad_t(do, tq_p)
+    kp, vp = _pad_t(k, tk_p), _pad_t(v, tk_p)
+    # padded q rows: lse=0 would make exp(s-lse) explode on masked NEG_INF
+    # rows? s is NEG_INF there once k-masking applies, so p=0 — but protect
+    # the pad region with a large lse anyway.
+    lse_p = jnp.pad(lse, ((0, 0), (0, tq_p - tq), (0, 0)),
+                    constant_values=0.0)
+    delta_p = _pad_t(delta, tq_p)
+    valid_len = jnp.full((1,), tk, jnp.int32)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, block_k=block_k, causal=causal, scale=scale,
+            offset=tk - tq,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, tq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((None, block_q, 1), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((None, block_q, 1), lambda i, j, *_: (i, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((bh, tq_p, d), q.dtype),
         interpret=interpret,
-    )(valid_len, q, k, v)
-    return out[:, :tq]
+    )(valid_len, qp, kp, vp, dop, lse_p, delta_p)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, block_q=block_q, causal=causal, scale=scale,
+            offset=tk - tq,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, tk_p // block_k),
+            in_specs=[
+                pl.BlockSpec((None, tq_p, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((None, block_k, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((None, block_k, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((None, tq_p, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((None, tq_p, 1), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((None, tq_p, 1), lambda i, j, *_: (i, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((None, block_k, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((None, block_k, d), lambda i, j, *_: (i, j, 0)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk_p, d), v.dtype),
+        ),
+        interpret=interpret,
+    )(valid_len, qp, kp, vp, dop, lse_p, delta_p)
+
+    return dq[:, :tq], dk[:, :tk], dv[:, :tk]
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+def _blocks(tq, tk):
+    return (
+        min(DEFAULT_BLOCK_Q, _round_up(tq, 128)),
+        min(DEFAULT_BLOCK_K, _round_up(tk, 128)),
+    )
+
+
+def _to_bh(x):
+    b, t, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+
+def _from_bh(x, b, h):
+    bh, t, d = x.shape
+    return x.reshape(b, h, t, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention(q, k, v, causal):
-    return _flash_call(q, k, v, causal)
+    out, _ = _fwd_call(q, k, v, causal)
+    return out
 
 
-def _flash_call(q, k, v, causal):
+def _fwd_call(q, k, v, causal):
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    block_q, block_k = _blocks(tq, tk)
     interpret = jax.default_backend() != "tpu"
-    block_q = min(DEFAULT_BLOCK_Q, _round_up(tq, 128))
-    block_k = min(DEFAULT_BLOCK_K, _round_up(tk, 128))
-    out = _flash_fwd(
-        qf, kf, vf,
+    out, lse = _flash_fwd(
+        _to_bh(q), _to_bh(k), _to_bh(v),
         causal=causal, block_q=block_q, block_k=block_k, interpret=interpret,
     )
-    return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+    return _from_bh(out, b, h), lse
 
 
 def _flash_fwd_rule(q, k, v, causal):
-    return _flash_call(q, k, v, causal), (q, k, v)
+    out, lse = _fwd_call(q, k, v, causal)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_rule(causal, res, g):
-    # exact-math recompute through the XLA attention path
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: attention_xla(q, k, v, causal=causal), q, k, v
+    q, k, v, out, lse = res
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    block_q, block_k = _blocks(tq, tk)
+    interpret = jax.default_backend() != "tpu"
+    dq, dk, dv = _flash_bwd(
+        _to_bh(q), _to_bh(k), _to_bh(v), _to_bh(out), lse, _to_bh(g),
+        causal=causal, block_q=block_q, block_k=block_k, interpret=interpret,
     )
-    return vjp(g)
+    return _from_bh(dq, b, h), _from_bh(dk, b, h), _from_bh(dv, b, h)
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -193,5 +417,11 @@ _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, *, causal: bool = False
 ) -> jax.Array:
-    """(B, Tq, H, D) x (B, Tk, H, D) -> (B, Tq, H, D); softmax(QK^T/√D)V."""
+    """(B, Tq, H, D) x (B, Tk, H, D) -> (B, Tq, H, D); softmax(QK^T/√D)V.
+
+    causal requires Tq == Tk (the model's only causal use — decoder
+    self-attention over a full block); rows that would attend to nothing
+    are undefined under end-aligned causal masking."""
+    if causal and q.shape[1] != k.shape[1]:
+        raise ValueError("causal flash attention requires Tq == Tk")
     return _flash_attention(q, k, v, causal)

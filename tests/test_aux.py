@@ -211,3 +211,26 @@ def test_debug_utilities():
     tree["b"]["c"] = jnp.asarray([jnp.nan, 1.0])
     bad = find_nonfinite(tree)
     assert len(bad) == 1 and "c" in bad[0]
+
+
+def test_metric_logger_and_throughput(tmp_path):
+    import json as _json
+    import time as _time
+
+    from kotoba_whisper_tpu.train.logging import MetricLogger, Throughput
+
+    logger = MetricLogger(str(tmp_path), run_name="t")
+    logger.log({"loss": 1.5, "ce_loss": 1.0}, step=10)
+    logger.log({"loss": 1.2}, step=20, prefix="eval")
+    logger.close()
+    rows = [
+        _json.loads(l) for l in open(tmp_path / "metrics.t.jsonl")
+    ]
+    assert rows[0]["train/loss"] == 1.5 and rows[0]["step"] == 10
+    assert rows[1]["eval/loss"] == 1.2
+
+    tp = Throughput(n_chips=2)
+    tp.start()
+    tp.add(60.0)
+    _time.sleep(0.01)
+    assert tp.rate() > 0

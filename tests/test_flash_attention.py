@@ -62,3 +62,29 @@ def test_model_encode_with_pallas_attn(rng):
     a = whisper.encode(params, cfg, mel, attn_impl="xla")
     b = whisper.encode(params, cfg, mel, attn_impl="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "tq,tk,causal",
+    [(128, 128, False), (256, 256, True), (130, 300, False), (130, 130, True)],
+)
+def test_flash_backward_kernels_match_xla(rng, tq, tk, causal):
+    """Pallas backward kernels (dQ, dK, dV) vs XLA attention autodiff."""
+    b, h, d = 2, 2, 64
+    q, k, v = (_rand(rng, b, tq, h, d), _rand(rng, b, tk, h, d),
+               _rand(rng, b, tk, h, d))
+    g = _rand(rng, b, tq, h, d)
+
+    def f_flash(q, k, v):
+        return jnp.vdot(flash_attention(q, k, v, causal=causal), g)
+
+    def f_xla(q, k, v):
+        return jnp.vdot(attention_xla(q, k, v, causal=causal), g)
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} tq={tq} tk={tk} causal={causal}",
+        )
