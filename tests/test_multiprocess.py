@@ -9,6 +9,7 @@ import sys
 import pytest
 
 WORKER = r"""
+import os
 import sys
 import jax
 
@@ -20,7 +21,7 @@ proc_id = int(sys.argv[1])
 from kotoba_whisper_tpu.parallel import multihost
 
 multihost.initialize(
-    coordinator_address="127.0.0.1:12923",
+    coordinator_address=f"127.0.0.1:{int(sys.argv[2])}",
     num_processes=2,
     process_id=proc_id,
     init_timeout_s=60,
@@ -87,9 +88,10 @@ def test_two_process_data_parallel(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.getcwd()
     env.pop("JAX_PLATFORMS", None)
+    port = 12000 + os.getpid() % 20000
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i)],
+            [sys.executable, str(script), str(i), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
