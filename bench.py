@@ -114,7 +114,9 @@ def main() -> None:
         run_config("cpu-smoke")
         return
 
-    for name in ("int8-48", "bf16-32"):
+    # a second attempt at the same config gets a fresh process/axon
+    # session, which clears transient remote-compile wedges
+    for name in ("int8-48", "int8-48", "bf16-32", "bf16-32"):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--config", name],
