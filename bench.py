@@ -38,7 +38,7 @@ CONFIGS = {
     "cpu-smoke": (2, 16, 1, "compute"),
 }
 BASELINE_RATE = 30.0 / 0.184  # reference large-v3, 30 s utterance, cuda:0
-WATCHDOG_SECS = int(os.environ.get("KWT_BENCH_TIMEOUT", "1500"))
+WATCHDOG_SECS = int(os.environ.get("KWT_BENCH_TIMEOUT", "1200"))
 
 
 def run_config(name: str) -> None:
@@ -116,7 +116,7 @@ def main() -> None:
 
     # a second attempt at the same config gets a fresh process/axon
     # session, which clears transient remote-compile wedges
-    for name in ("int8-48", "int8-48", "bf16-32", "bf16-32"):
+    for name in ("int8-48", "bf16-32", "bf16-32"):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--config", name],
