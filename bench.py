@@ -73,11 +73,16 @@ def run_config(name: str) -> None:
     # fixed-length decode: point the early-exit at an unreachable token id
     st_bench = dataclasses.replace(st, eot=-1)
 
+    # encoder self-attention on the single-step Pallas flash kernel:
+    # 1133 -> 868 ms per encoder pass at B=32 (docs/DESIGN.md ledger)
+    attn_impl = "pallas" if name != "cpu-smoke" else "xla"
+
     def pipeline(params, audio):
         mel = log_mel_spectrogram(audio, feat).astype(jnp.bfloat16)
         return generate_greedy(
             params, cfg, mel, opts, st_bench,
             compute_dtype=jnp.bfloat16, kv_dtype=kv_dtype,
+            attn_impl=attn_impl,
         )
 
     tokens = pipeline(params, audio)  # warmup/compile

@@ -18,7 +18,14 @@ Design:
     reduce outside the kernels;
   - causal masking skips fully-masked blocks (loop bounds derived from the
     block index); sequence padding is masked via a scalar valid length;
-  - fp32 accumulation regardless of input dtype (bf16 in production).
+  - the k-loop is split into a mask-free fast loop over blocks wholly
+    inside valid_len (and below the causal bound) plus a masked epilogue —
+    encoder ablations showed the per-element iota/compare/select was a
+    large share of the softmax's VPU time (docs/DESIGN.md);
+  - MXU dots take native-dtype (bf16) operands with fp32 accumulation
+    (preferred_element_type); the 1/sqrt(64)=0.125 softmax scale is folded
+    into q losslessly (exact in bf16). fp32-upcast operands would run the
+    matmuls at the fp32 MXU rate; softmax statistics stay fp32.
 
 On non-TPU backends the kernels run in interpreter mode (tests), so the
 same code path is exercised everywhere; gradients are verified against the
@@ -27,6 +34,7 @@ XLA attention's autodiff.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,11 +44,82 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 NEG_INF = -1.0e30
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+# Non-causal sequences up to this length skip online softmax entirely: the
+# whole K/V block fits VMEM (4096x64 bf16 = 512 KB) and a one-shot softmax
+# needs no running max/sum corrections — the VPU bookkeeping that dominates
+# the tiled kernel at encoder shapes (docs/DESIGN.md ablations).
+SINGLE_STEP_MAX_K = 4096
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
+
+def _scale_exact(scale: float, dtype) -> bool:
+    """True when `scale` is exactly representable in `dtype` (e.g. the
+    1/sqrt(64)=0.125 of every Whisper head dim), so it can be folded into q
+    in the input dtype losslessly and the MXU sees native-dtype operands."""
+    import numpy as np
+
+    return float(np.asarray(scale, np.dtype(dtype))) == scale
+
+
+def _fwd_kernel_single(
+    valid_len_ref,
+    q_ref,          # (BQ, D)
+    k_ref,          # (Tk_padded, D)
+    v_ref,          # (Tk_padded, D)
+    o_ref,          # (BQ, D)
+    lse_ref,        # (BQ, 1)
+    *,
+    scale: float,
+    use_exp2: bool,
+):
+    """One-shot softmax over the full key range (non-causal, K/V in VMEM).
+
+    VPU work per score element: one bias add (tail masking), one subtract,
+    one exp — no per-block running max/sum corrections, no acc rescaling.
+    With use_exp2 the exponential is computed as exp2(x·log2e) (log2e folded
+    into the score scale in fp32), trading one multiply for whatever the
+    hardware saves on pow2 vs exp; the lse residual is converted back to
+    natural-log units so the backward kernels are agnostic."""
+    tk = k_ref.shape[0]
+    in_dtype = q_ref.dtype
+    valid_len = valid_len_ref[0]
+
+    c = scale * (LOG2E if use_exp2 else 1.0)
+    exact = _scale_exact(c, in_dtype)
+    q = q_ref[:] * jnp.asarray(c, in_dtype) if exact else q_ref[:]
+    s = jax.lax.dot_general(
+        q, k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if not exact:
+        s = s * c
+
+    # tail masking as a broadcast bias row: one add over the scores instead
+    # of per-element iota/compare/select
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+    bias = jnp.where(col < valid_len, 0.0, NEG_INF)
+    s = s + bias
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    z = s - m
+    p = jnp.exp2(z) if use_exp2 else jnp.exp(z)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(in_dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[:] = (o / l_safe).astype(o_ref.dtype)
+    if use_exp2:  # m is in base-2 units; lse residual stays natural-log
+        lse_ref[:] = m * LN2 + jnp.log(l_safe)
+    else:
+        lse_ref[:] = m + jnp.log(l_safe)
+
 
 def _fwd_kernel(
     valid_len_ref,
@@ -60,44 +139,72 @@ def _fwd_kernel(
     q_block = pl.program_id(1)
     valid_len = valid_len_ref[0]
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    # MXU wants native-dtype (bf16) operands: fp32 upcasts before the dots
+    # run the matmuls at the fp32 MXU rate (measured ~2x slower end-to-end
+    # on the 1500-frame encoder). Scale is folded into q in the input dtype
+    # when exact; otherwise applied to the fp32 scores.
+    in_dtype = q_ref.dtype
+    exact = _scale_exact(scale, in_dtype)
+    q = q_ref[:] * jnp.asarray(scale, in_dtype) if exact else q_ref[:]
 
     num_k_blocks = tk // block_k
     if causal:
         q_end = (q_block + 1) * bq + offset
         num_k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(q_end, block_k))
 
-    def body(j, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-
-        k_pos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), dimension=1
+    # Blocks wholly inside valid_len (and, when causal, wholly below this q
+    # block's first-row bound) need no mask: skipping the per-element
+    # iota/compare/select there removes most of the softmax's VPU overhead
+    # (5 of 6 k-blocks at T=1500, BK=256).
+    full_blocks = jnp.minimum(valid_len // block_k, num_k_blocks)
+    if causal:
+        full_blocks = jnp.minimum(
+            full_blocks, (q_block * bq + offset + 1) // block_k
         )
-        mask = k_pos < valid_len
-        if causal:
-            q_pos = q_block * bq + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), dimension=0
+
+    def body(j, carry, *, masked):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if not exact:
+            s = s * scale
+
+        if masked:
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), dimension=1
             )
-            mask = mask & (k_pos <= q_pos + offset)
-        s = jnp.where(mask, s, NEG_INF)
+            mask = k_pos < valid_len
+            if causal:
+                q_pos = q_block * bq + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), dimension=0
+                )
+                mask = mask & (k_pos <= q_pos + offset)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m_prev - m_new)
         l_new = correction * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * correction + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32
+        acc = acc * correction + jax.lax.dot_general(
+            p.astype(in_dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
     acc = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc, m0, l0))
+    carry = jax.lax.fori_loop(
+        0, full_blocks, functools.partial(body, masked=False), (acc, m0, l0)
+    )
+    acc, m, l = jax.lax.fori_loop(
+        full_blocks, num_k_blocks, functools.partial(body, masked=True), carry
+    )
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[:] = (acc / l_safe).astype(o_ref.dtype)
     lse_ref[:] = m + jnp.log(l_safe)
@@ -127,8 +234,10 @@ def _bwd_dq_kernel(
     q_block = pl.program_id(1)
     valid_len = valid_len_ref[0]
 
-    q = q_ref[:].astype(jnp.float32) * scale
-    do = do_ref[:].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    exact = _scale_exact(scale, in_dtype)
+    q = q_ref[:] * jnp.asarray(scale, in_dtype) if exact else q_ref[:]
+    do = do_ref[:]
     lse = lse_ref[:]
     delta = delta_ref[:]
 
@@ -138,9 +247,14 @@ def _bwd_dq_kernel(
         num_k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(q_end, block_k))
 
     def body(j, dq):
-        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if not exact:
+            s = s * scale
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), dimension=1
         )
@@ -152,9 +266,15 @@ def _bwd_dq_kernel(
             mask = mask & (k_pos <= q_pos + offset)
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse)                              # (BQ, BK)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta)).astype(in_dtype)
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
@@ -185,8 +305,10 @@ def _bwd_dkv_kernel(
     k_block = pl.program_id(1)
     valid_len = valid_len_ref[0]
 
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    exact = _scale_exact(scale, in_dtype)
+    k = k_ref[:]
+    v = v_ref[:]
 
     num_q_blocks = tq // block_q
     q_start_block = 0
@@ -197,12 +319,19 @@ def _bwd_dkv_kernel(
 
     def body(i, carry):
         dk, dv = carry
-        q_blk = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
-        do_blk = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q_blk = q_ref[pl.ds(i * block_q, block_q), :]
+        if exact:
+            q_blk = q_blk * jnp.asarray(scale, in_dtype)
+        do_blk = do_ref[pl.ds(i * block_q, block_q), :]
         lse_blk = lse_ref[pl.ds(i * block_q, block_q), :]
         delta_blk = delta_ref[pl.ds(i * block_q, block_q), :]
 
-        s = jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        s = jax.lax.dot_general(  # (BQ, BK)
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if not exact:
+            s = s * scale
         k_pos = k_block * bk + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, bk), dimension=1
         )
@@ -214,15 +343,27 @@ def _bwd_dkv_kernel(
             mask = mask & (k_pos <= q_pos + offset)
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse_blk)
-        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do_blk, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_blk)
-        dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        p_lo = p.astype(in_dtype)
+        dv = dv + jax.lax.dot_general(
+            p_lo, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta_blk)).astype(in_dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         return dk, dv
 
     zeros = jnp.zeros((bk, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(q_start_block, num_q_blocks, body, (zeros, zeros))
-    dk_ref[:] = dk.astype(dk_ref.dtype)  # q already carries the scale
+    if not exact:
+        dk = dk * scale  # scale not folded into q on this path
+    dk_ref[:] = dk.astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
@@ -246,16 +387,29 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, interpret):
     bh, tq, d = q.shape
     tk = k.shape[1]
     scale = 1.0 / (d**0.5)
+    single = not causal and tk <= SINGLE_STEP_MAX_K
+    if single:
+        block_q = min(512, _round_up(tq, 128))
+        block_k = _round_up(tk, 128)  # whole key range, one step
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
     q, k, v = _pad_t(q, tq_p), _pad_t(k, tk_p), _pad_t(v, tk_p)
     valid_len = jnp.full((1,), tk, jnp.int32)
 
-    out, lse = pl.pallas_call(
-        functools.partial(
+    if single:
+        # exp2-with-folded-log2e measured identical to exp on v5e (the
+        # lowering is the same hardware approximation); keep natural exp
+        kernel = functools.partial(
+            _fwd_kernel_single, scale=scale,
+            use_exp2=os.environ.get("KWT_FA_EXP2", "0") != "0",
+        )
+    else:
+        kernel = functools.partial(
             _fwd_kernel, block_k=block_k, causal=causal, scale=scale,
             offset=tk - tq,
-        ),
+        )
+    out, lse = pl.pallas_call(
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, tq_p // block_q),
