@@ -33,6 +33,7 @@ import numpy as np
 
 CONFIGS = {
     # name: (batch, n_tokens, trials, kv_dtype)
+    "int8-64": (64, 48, 3, "int8"),
     "int8-48": (48, 48, 3, "int8"),
     "bf16-32": (32, 48, 3, "compute"),
     "cpu-smoke": (2, 16, 1, "compute"),
@@ -55,6 +56,9 @@ def run_config(name: str) -> None:
     from kotoba_whisper_tpu.ops.mel import log_mel_spectrogram
 
     batch, n_tokens, trials, kv_dtype = CONFIGS[name]
+    # diagnosis overrides (not used by the driver): KWT_BENCH_TOKENS to
+    # shrink the decode loop, KWT_BENCH_ATTN to pin the attention impl
+    n_tokens = int(os.environ.get("KWT_BENCH_TOKENS", n_tokens))
     cfg = PRESETS["large-v3" if name != "cpu-smoke" else "test-tiny"]
 
     st = SpecialTokens.for_vocab(cfg.vocab_size)
@@ -73,9 +77,13 @@ def run_config(name: str) -> None:
     # fixed-length decode: point the early-exit at an unreachable token id
     st_bench = dataclasses.replace(st, eot=-1)
 
-    # encoder self-attention on the single-step Pallas flash kernel:
-    # 1133 -> 868 ms per encoder pass at B=32 (docs/DESIGN.md ledger)
-    attn_impl = "pallas" if name != "cpu-smoke" else "xla"
+    # Encoder attention impl: the single-step Pallas kernel wins at B<=32
+    # (1133 -> 868 ms) but XLA's attention turns sublinear at B>=48 (1029 ms
+    # @ B=48, beating the kernel's linear 26.9 ms/sample) — so the headline
+    # B=48 config stays on XLA (docs/DESIGN.md encoder ledger).
+    attn_impl = os.environ.get(
+        "KWT_BENCH_ATTN", "pallas" if batch <= 32 and name != "cpu-smoke" else "xla"
+    )
 
     def pipeline(params, audio):
         mel = log_mel_spectrogram(audio, feat).astype(jnp.bfloat16)
