@@ -33,6 +33,9 @@ import numpy as np
 
 CONFIGS = {
     # name: (batch, n_tokens, trials, kv_dtype)
+    "int4-96": (96, 48, 3, "int4"),
+    "int4-64": (64, 48, 3, "int4"),
+    "int4-48": (48, 48, 3, "int4"),
     "int8-64": (64, 48, 3, "int8"),
     "int8-48": (48, 48, 3, "int8"),
     "bf16-32": (32, 48, 3, "compute"),

@@ -22,7 +22,7 @@ def main(argv=None) -> None:
     ap.add_argument("--output_dir", default="eval_pipeline")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv_dtype", default="compute",
-                    choices=["compute", "int8"])
+                    choices=["compute", "int8", "int4"])
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--punctuator", action="store_true",
                     help="apply the punctuation add-on to pipeline chunks "

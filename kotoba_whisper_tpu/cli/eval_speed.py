@@ -20,7 +20,7 @@ def main(argv=None) -> None:
     ap.add_argument("--output", default="eval_pipeline/runtime_pipeline.jsonl")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv_dtype", default="compute",
-                    choices=["compute", "int8"])
+                    choices=["compute", "int8", "int4"])
     arg = ap.parse_args(argv)
 
     import jax

@@ -49,9 +49,10 @@ def main(argv=None) -> None:
                     help="shard range start (idempotent-chunk recipe)")
     ap.add_argument("--chunk_hi", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--kv_dtype", default="compute", choices=["compute", "int8"],
+    ap.add_argument("--kv_dtype", default="compute", choices=["compute", "int8", "int4"],
                     help="int8: per-row-quantized KV caches (halves decode "
-                    "HBM traffic; small logit perturbation)")
+                    "HBM traffic); int4: per-head-quantized cross-KV "
+                    "(halves it again; similar logit perturbation)")
     ap.add_argument("--limit", type=int, default=None)
     arg = ap.parse_args(argv)
 

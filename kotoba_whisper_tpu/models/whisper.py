@@ -252,6 +252,15 @@ class KVCache(NamedTuple):
     absmax scales (L, B, T, 1) fp32 — halves the decode loop's dominant
     HBM traffic; scales fold losslessly into the block-diagonal attention
     (scores *= k_scale, weights *= v_scale before the V reduce).
+
+    Optional int4 mode (kv_dtype="int4"): cross K/V stored int4 with
+    per-(row, head) absmax scales (L, B, T, H) bf16 — halves cross-KV
+    traffic again vs int8. The 64-element scale groups are exact in the
+    block-diagonal attention: qd is block-diagonal over heads, so each
+    score/weight element mixes exactly one head's block and the per-head
+    scale folds without approximation (only the 4-bit rounding is lossy).
+    Self K/V stay int8 (same per-head scale shape) — their traffic is
+    minor and self-attention feeds back into the cache each step.
     """
 
     self_k: jax.Array
@@ -265,8 +274,15 @@ class KVCache(NamedTuple):
     cross_v_scale: jax.Array | None = None
 
     @property
-    def is_int8(self) -> bool:
+    def is_quantized(self) -> bool:
         return self.cross_k_scale is not None
+
+    # back-compat alias (pre-int4 name)
+    is_int8 = is_quantized
+
+    @property
+    def per_head_scales(self) -> bool:
+        return self.is_quantized and self.cross_k_scale.shape[-1] > 1
 
 
 def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -275,6 +291,26 @@ def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale
+
+
+def quantize_kv_heads(
+    x: jax.Array, n_heads: int, dtype=jnp.int4
+) -> tuple[jax.Array, jax.Array]:
+    """(..., T, D) -> (int values flat (..., T, D), bf16 scales (..., T, H)).
+
+    Absmax scale per (row, head): each scale group is one head's 64-dim
+    block, which the block-diagonal decode attention folds exactly
+    (see KVCache docstring / ops/decode_attention.py)."""
+    qmax = 7.0 if dtype == jnp.int4 else 127.0
+    *lead, t, d = x.shape
+    xs = x.astype(jnp.float32).reshape(*lead, t, n_heads, d // n_heads)
+    amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(xs / scale), -qmax, qmax)
+    return (
+        q.astype(dtype).reshape(*lead, t, d),
+        scale[..., 0].astype(jnp.bfloat16),
+    )
 
 
 def init_cache(
@@ -299,6 +335,28 @@ def init_cache(
             v_flat = dense(ea["v_proj"], encoder_out)
         return k_flat, v_flat
 
+    if kv_dtype == "int4":
+        # Quantize per layer under lax.map: the per-head (L,B,T,H,hd)
+        # reshape defeats XLA's elementwise fusion, so an all-layers vmap
+        # would materialize a (32,B,1500,1280) fp32 temp (15 GB at B=64 —
+        # compile-time OOM on v5e). Serializing layers caps the temp at
+        # 1/L of that; init runs once per batch, off the decode hot loop.
+        l, h = cfg.decoder_layers, cfg.decoder_attention_heads
+
+        def cross_kv_q(lp):
+            k_flat, v_flat = cross_kv(lp)
+            return (
+                *quantize_kv_heads(k_flat, h, jnp.int4),
+                *quantize_kv_heads(v_flat, h, jnp.int4),
+            )
+
+        cross_k, ck_s, cross_v, cv_s = jax.lax.map(cross_kv_q, dec["layers"])
+        zeros = jnp.zeros((l, b, capacity, cfg.d_model), jnp.int8)
+        zscale = jnp.ones((l, b, capacity, h), jnp.bfloat16)
+        return KVCache(
+            zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
+            zscale, zscale, ck_s, cv_s,
+        )
     cross_k, cross_v = jax.vmap(cross_kv, in_axes=0, out_axes=0)(dec["layers"])
     if kv_dtype == "int8":
         l = cfg.decoder_layers
@@ -399,7 +457,8 @@ def decode(
             <= cache.length + jnp.arange(t)[:, None]
         )[None, None]  # (1, 1, t, capacity)
 
-    int8_kv = cache.is_int8
+    int8_kv = cache.is_quantized
+    per_head = cache.per_head_scales
 
     def flat_or_ref(q_flat, k_flat, v_flat, valid, k_scale=None, v_scale=None):
         """Single-query attention over a flat KV block."""
@@ -414,8 +473,19 @@ def decode(
             )
         return o.reshape(b_, 1, d_)
 
+    def quantize_new(x):
+        if per_head:
+            return quantize_kv_heads(x, n_heads, jnp.int8)
+        return quantize_kv_rows(x)
+
     def dequant(vals, scale):
-        return (vals.astype(jnp.float32) * scale).astype(compute_dtype)
+        v = vals.astype(jnp.float32)
+        if scale.shape[-1] > 1:  # per-head scale groups
+            b_, t_, d_ = v.shape
+            v = v.reshape(b_, t_, scale.shape[-1], -1)
+            v = v * scale[..., None].astype(jnp.float32)
+            return v.reshape(b_, t_, d_).astype(compute_dtype)
+        return (v * scale).astype(compute_dtype)
 
     def block(x, layer_in):
         (lp, self_k, self_v, cross_k, cross_v,
@@ -429,8 +499,8 @@ def decode(
             k_new = dense(lp["self_attn"]["k_proj"], h)
             v_new = dense(lp["self_attn"]["v_proj"], h)
         if int8_kv:
-            k_new, k_new_s = quantize_kv_rows(k_new)
-            v_new, v_new_s = quantize_kv_rows(v_new)
+            k_new, k_new_s = quantize_new(k_new)
+            v_new, v_new_s = quantize_new(v_new)
             sk_s = jax.lax.dynamic_update_slice_in_dim(
                 sk_s, k_new_s, cache.length, axis=1
             )

@@ -62,29 +62,34 @@ def decode_attention_reference(
 ):
     """(B,H,hd) x (B,T,dh) -> (B,H,hd); everything on the flat layout.
 
-    With k_scale/v_scale (B,T,1) given, K/V are int8 per-row-quantized:
-    the scales fold into the score and weight tensors (exact algebra —
-    the only approximation is the quantization itself)."""
+    With k_scale/v_scale given, K/V are int-quantized and the scales fold
+    into the score and weight tensors (exact algebra — the only
+    approximation is the quantization itself). Scale shapes: (B,T,1) for
+    per-row groups (int8 mode), or (B,T,H) for per-head 64-dim groups
+    (int4 mode) — per-head folding is exact because qd is block-diagonal,
+    so scores[b,t,h] only mixes head h's block of k, and w_exp expands
+    w[b,t,h] back onto exactly that block of v."""
     b, t, dh = k_flat.shape
     hd = dh // n_heads
     e = jnp.asarray(_expand_matrix(n_heads, hd))
     qd = _qd(q.astype(jnp.float32), n_heads)        # (B, dh, H)
-    kf = k_flat.astype(jnp.bfloat16) if k_flat.dtype == jnp.int8 else k_flat
+    int_kv = jnp.issubdtype(k_flat.dtype, jnp.integer)
+    kf = k_flat.astype(jnp.bfloat16) if int_kv else k_flat
     scores = jnp.einsum(
         "btd,bdh->bth", kf.astype(jnp.float32), qd,
         preferred_element_type=jnp.float32,
     )
     if k_scale is not None:
-        scores = scores * k_scale
+        scores = scores * k_scale.astype(jnp.float32)
     mask = jnp.arange(t)[None, :, None] < valid_len
     scores = jnp.where(mask, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=1)              # softmax over T
     if v_scale is not None:
-        w = w * v_scale
+        w = w * v_scale.astype(jnp.float32)
     w_exp = jnp.einsum(
         "bth,hd->btd", w, e, preferred_element_type=jnp.float32
     )
-    vf = v_flat.astype(jnp.bfloat16) if v_flat.dtype == jnp.int8 else v_flat
+    vf = v_flat.astype(jnp.bfloat16) if int_kv else v_flat
     out = jnp.sum(w_exp * vf.astype(jnp.float32), axis=1)  # (B, dh)
     out_dtype = q.dtype
     return out.reshape(b, n_heads, hd).astype(out_dtype)

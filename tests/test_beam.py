@@ -158,3 +158,16 @@ def test_beam_int8_kv(setup):
     p = len(opts.prompt_ids)
     assert (t[:, p] >= ST.timestamp_begin).all()
     assert np.isfinite(np.asarray(s)).all()
+
+
+def test_beam_int4_kv(setup):
+    """Beam search over an int4 cross-KV cache (per-head scales follow
+    the beam reorder through the scan carry)."""
+    cfg, params, mel, opts = setup
+    t, s = generate_beam(
+        params, cfg, mel, opts, ST, num_beams=3, kv_dtype="int4"
+    )
+    t = np.asarray(t)
+    p = len(opts.prompt_ids)
+    assert (t[:, p] >= ST.timestamp_begin).all()
+    assert np.isfinite(np.asarray(s)).all()
