@@ -69,6 +69,10 @@ def run_config(name: str) -> None:
 
     params = whisper.init_params(jax.random.key(0), cfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if os.environ.get("KWT_BENCH_FUSE", "1") != "0":
+        from kotoba_whisper_tpu.models.optimized import fuse_for_inference
+
+        params = fuse_for_inference(params)
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(

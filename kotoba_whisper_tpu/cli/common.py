@@ -44,6 +44,16 @@ def load_tokenizer(spec: str) -> WhisperTokenizer:
     return WhisperTokenizer.from_pretrained_dir(spec, n_langs=n_langs)
 
 
+def fuse_unless(params, disabled: bool):
+    """Lossless inference projection fusion (models/optimized.py) unless
+    disabled — fewer, larger matmuls in the decode hot loop."""
+    if disabled:
+        return params
+    from kotoba_whisper_tpu.models.optimized import fuse_for_inference
+
+    return fuse_for_inference(params)
+
+
 def load_model(spec: str, seed: int = 0):
     """'preset:<name>' (random init) or a checkpoint dir (HF layout)."""
     import jax

@@ -29,6 +29,8 @@ def main(argv=None) -> None:
                     "(the v1.1/v2.1 eval variants)")
     ap.add_argument("--stable_ts", action="store_true",
                     help="apply timestamp repair to pipeline chunks")
+    ap.add_argument("--no_fuse", action="store_true",
+                    help="skip the lossless inference projection fusion")
     arg = ap.parse_args(argv)
 
     import jax
@@ -48,6 +50,7 @@ def main(argv=None) -> None:
     params, cfg = common.load_model(arg.model)
     compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+    params = common.fuse_unless(params, arg.no_fuse)
 
     gen_defaults = common.load_generation_defaults(arg.model)
     pipe = AsrPipeline(

@@ -54,6 +54,8 @@ def main(argv=None) -> None:
                     "HBM traffic); int4: per-head-quantized cross-KV "
                     "(halves it again; similar logit perturbation)")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--no_fuse", action="store_true",
+                    help="skip the lossless inference projection fusion")
     arg = ap.parse_args(argv)
 
     import jax
@@ -77,6 +79,7 @@ def main(argv=None) -> None:
     params, cfg = common.load_model(arg.model)
     compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+    params = common.fuse_unless(params, arg.no_fuse)
     attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     feat = FeatureConfig(n_mels=cfg.num_mel_bins)
@@ -113,7 +116,7 @@ def main(argv=None) -> None:
                 toks, _ = generate_beam(
                     params, cfg, mel, opts, tok.special,
                     num_beams=arg.num_beams, compute_dtype=compute_dtype,
-                    attn_impl=attn_impl,
+                    attn_impl=attn_impl, kv_dtype=arg.kv_dtype,
                 )
             else:
                 toks = generate_greedy(

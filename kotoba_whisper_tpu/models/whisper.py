@@ -335,39 +335,34 @@ def init_cache(
             v_flat = dense(ea["v_proj"], encoder_out)
         return k_flat, v_flat
 
-    if kv_dtype == "int4":
-        # Quantize per layer under lax.map: the per-head (L,B,T,H,hd)
-        # reshape defeats XLA's elementwise fusion, so an all-layers vmap
-        # would materialize a (32,B,1500,1280) fp32 temp (15 GB at B=64 —
-        # compile-time OOM on v5e). Serializing layers caps the temp at
-        # 1/L of that; init runs once per batch, off the decode hot loop.
+    if kv_dtype in ("int4", "int8"):
+        # Quantize per layer under lax.map, not an all-layers vmap: the
+        # full-precision cross-KV of all 32 layers is a >11 GB temp at
+        # B=48 (the fused kv_proj output, or the fp32 per-head reshape in
+        # int4 mode — both defeat XLA's fusion and compile-OOM on v5e).
+        # Serializing layers caps the temp at 1/L of that; init runs once
+        # per batch, off the decode hot loop.
         l, h = cfg.decoder_layers, cfg.decoder_attention_heads
 
         def cross_kv_q(lp):
             k_flat, v_flat = cross_kv(lp)
-            return (
-                *quantize_kv_heads(k_flat, h, jnp.int4),
-                *quantize_kv_heads(v_flat, h, jnp.int4),
-            )
+            if kv_dtype == "int4":
+                return (
+                    *quantize_kv_heads(k_flat, h, jnp.int4),
+                    *quantize_kv_heads(v_flat, h, jnp.int4),
+                )
+            return (*quantize_kv_rows(k_flat), *quantize_kv_rows(v_flat))
 
         cross_k, ck_s, cross_v, cv_s = jax.lax.map(cross_kv_q, dec["layers"])
+        scale_w = h if kv_dtype == "int4" else 1
+        scale_dt = jnp.bfloat16 if kv_dtype == "int4" else jnp.float32
         zeros = jnp.zeros((l, b, capacity, cfg.d_model), jnp.int8)
-        zscale = jnp.ones((l, b, capacity, h), jnp.bfloat16)
+        zscale = jnp.ones((l, b, capacity, scale_w), scale_dt)
         return KVCache(
             zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
             zscale, zscale, ck_s, cv_s,
         )
     cross_k, cross_v = jax.vmap(cross_kv, in_axes=0, out_axes=0)(dec["layers"])
-    if kv_dtype == "int8":
-        l = cfg.decoder_layers
-        cross_k, ck_s = quantize_kv_rows(cross_k)
-        cross_v, cv_s = quantize_kv_rows(cross_v)
-        zeros = jnp.zeros((l, b, capacity, cfg.d_model), jnp.int8)
-        zscale = jnp.ones((l, b, capacity, 1), jnp.float32)
-        return KVCache(
-            zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
-            zscale, zscale, ck_s, cv_s,
-        )
     zeros = jnp.zeros(
         (cfg.decoder_layers, b, capacity, cfg.d_model), compute_dtype
     )
