@@ -282,7 +282,10 @@ class KVCache(NamedTuple):
 
     @property
     def per_head_scales(self) -> bool:
-        return self.is_quantized and self.cross_k_scale.shape[-1] > 1
+        # Per-head (int4-style) scale buffers are bf16; per-row (int8)
+        # scales are fp32. Dtype is the reliable discriminator — shape[-1]
+        # would misclassify a 1-head decoder's per-head cache as per-row.
+        return self.is_quantized and self.cross_k_scale.dtype == jnp.bfloat16
 
 
 def quantize_kv_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -306,6 +309,10 @@ def quantize_kv_heads(
     xs = x.astype(jnp.float32).reshape(*lead, t, n_heads, d // n_heads)
     amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / qmax
+    # Round the scale through bf16 FIRST and quantize against the rounded
+    # value — the stored (bf16) scale is then exactly the one used for
+    # quantization, so only the k-bit rounding itself is lossy.
+    scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
     q = jnp.clip(jnp.round(xs / scale), -qmax, qmax)
     return (
         q.astype(dtype).reshape(*lead, t, d),
@@ -320,7 +327,7 @@ def init_cache(
     capacity: int,
     *,
     compute_dtype=jnp.float32,
-    kv_dtype: str = "compute",  # "compute" | "int8"
+    kv_dtype: str = "compute",  # "compute" | "int8" | "int4"
 ) -> KVCache:
     dec = params["decoder"]
     b = encoder_out.shape[0]

@@ -60,3 +60,17 @@ def test_pad_or_trim():
     assert pad_or_trim(short, cfg.n_samples).shape == (1, cfg.n_samples)
     long = np.ones((1, cfg.n_samples + 5), np.float32)
     assert pad_or_trim(long, cfg.n_samples).shape == (1, cfg.n_samples)
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_pallas_mel_matches_xla(rng, n_mels):
+    """The fused Pallas frontend (ops/mel_pallas.py) is a drop-in equivalent
+    of the XLA-matmul path, which is itself HF-golden-tested above."""
+    from kotoba_whisper_tpu.ops.mel_pallas import log_mel_spectrogram_pallas
+
+    cfg = FeatureConfig(n_mels=n_mels)
+    audio = (rng.standard_normal((2, cfg.n_samples)) * 0.1).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(audio, cfg))
+    got = np.asarray(log_mel_spectrogram_pallas(audio, cfg))
+    assert got.shape == ref.shape == (2, n_mels, 3000)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
