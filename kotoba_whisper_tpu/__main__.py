@@ -10,6 +10,8 @@ import sys
 STAGES = {
     "pseudo-label": ("kotoba_whisper_tpu.cli.pseudo_label", "teacher pseudo-labelling"),
     "filter": ("kotoba_whisper_tpu.cli.data_filter", "WER filtering + vectorize"),
+    "merge": ("kotoba_whisper_tpu.cli.merge_splits",
+              "merge chunk outputs into split_N training groups"),
     "create-student": ("kotoba_whisper_tpu.cli.create_student", "student init"),
     "distill": ("kotoba_whisper_tpu.cli.distill", "distillation training"),
     "distill-bilingual": (

@@ -1,10 +1,14 @@
 """Stage-5 driver: distillation training.
 
-Counterpart of run_distillation.py (call stack SURVEY.md §3.2): loads the
-vectorized dataset (features.npz + filtered.jsonl), builds the pjit-sharded
-CE+KL train step (train/distill.py), runs epochs with shuffling, gradient
-accumulation, checkpoint save/rotate/resume, and metric logging with the
-reference's metric names (train/loss|ce_loss|kl_loss|learning_rate|time).
+Counterpart of run_distillation.py (call stack SURVEY.md §3.2): streams the
+vectorized dataset (sharded mmap layout, data/shards.py; legacy
+features.npz dirs also load), builds the pjit-sharded CE+KL train step
+(train/distill.py), and runs the production epochs x splits schedule
+(train/loader.py — the script/distil_whisper_v2.0.sh:182-202 loop with
+next-split prefetch) with gradient accumulation, checkpoint
+save/rotate/resume carrying the exact data-order position, and metric
+logging with the reference's metric names
+(train/loss|ce_loss|kl_loss|learning_rate|time).
 """
 from __future__ import annotations
 
@@ -14,8 +18,13 @@ import time
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--data_dir", required=True,
-                    help="dir with features.npz + filtered.jsonl")
+    ap.add_argument("--data_dir", default=None,
+                    help="single vectorized dir (back-compat alias for "
+                    "--train_splits with one split)")
+    ap.add_argument("--train_splits", default=None,
+                    help="training data: a dir containing split_N subdirs "
+                    "(data/merge.py output), a comma list of dirs, or one "
+                    "dir; each split is streamed via mmap shards")
     ap.add_argument("--student", required=True)
     ap.add_argument("--teacher", required=True)
     ap.add_argument("--output_dir", required=True)
@@ -41,9 +50,15 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh_model_axis", type=int, default=1)
     ap.add_argument("--num_devices", type=int, default=None,
                     help="restrict the mesh to the first N devices")
+    ap.add_argument("--no_prefetch", action="store_true",
+                    help="disable batch-assembly/next-split prefetch threads")
     ap.add_argument("--resume_from_checkpoint", action="store_true", default=True)
+    ap.add_argument("--no_resume", dest="resume_from_checkpoint",
+                    action="store_false")
     ap.add_argument("--wandb_project", default=None)
     arg = ap.parse_args(argv)
+    if not (arg.data_dir or arg.train_splits):
+        ap.error("one of --data_dir / --train_splits is required")
 
     import jax
 
@@ -56,15 +71,13 @@ def main(argv=None) -> None:
     from kotoba_whisper_tpu.cli import common
     from kotoba_whisper_tpu.core.mesh import MeshConfig, build_mesh
     from kotoba_whisper_tpu.data.collator import CollatorConfig, collate_labels
-    from kotoba_whisper_tpu.models import whisper
+    from kotoba_whisper_tpu.data.shards import resolve_split_dirs
     from kotoba_whisper_tpu.parallel import sharded
     from kotoba_whisper_tpu.train import checkpoint, distill, optim
+    from kotoba_whisper_tpu.train.loader import DataPosition, ScheduleLoader
     from kotoba_whisper_tpu.train.logging import MetricLogger
 
-    # data
-    rows = common.read_jsonl(f"{arg.data_dir}/filtered.jsonl")
-    feats = np.load(f"{arg.data_dir}/features.npz")["input_features"]
-    assert len(rows) == feats.shape[0], "labels/features misaligned"
+    split_dirs = resolve_split_dirs(arg.train_splits or arg.data_dir)
     tok = common.load_tokenizer(arg.tokenizer)
 
     student, s_cfg = common.load_model(arg.student)
@@ -78,12 +91,23 @@ def main(argv=None) -> None:
     mesh = build_mesh(MeshConfig(data=-1, model=arg.mesh_model_axis), devices)
     n_data = mesh.shape["data"]
     global_batch = arg.per_device_train_batch_size * n_data
-    if len(rows) < global_batch:
-        raise SystemExit(
-            f"dataset has {len(rows)} rows < global batch {global_batch} "
-            f"({arg.per_device_train_batch_size}/device x {n_data} data-"
-            f"parallel devices); shrink the batch or --num_devices"
-        )
+
+    loader = ScheduleLoader(
+        split_dirs,
+        seed=arg.seed,
+        global_batch=global_batch,
+        num_epochs=arg.num_train_epochs,
+        prefetch=not arg.no_prefetch,
+    )
+    for s in range(len(split_dirs)):
+        if loader.batches_in_split(s) == 0:
+            raise SystemExit(
+                f"split {split_dirs[s]} has {loader.split_size(s)} rows < "
+                f"global batch {global_batch} ({arg.per_device_train_batch_size}"
+                f"/device x {n_data} data-parallel devices); shrink the batch "
+                f"or --num_devices"
+            )
+    steps_per_epoch = loader.steps_per_epoch()
 
     dc = distill.DistillConfig(
         kl_weight=arg.kl_weight,
@@ -106,14 +130,23 @@ def main(argv=None) -> None:
         distill.make_train_step(s_cfg, t_cfg, dc, tx, sched)
     )
 
-    # resume
-    start_epoch = 0
-    resumed_step = 0
+    # resume: restore params/opt state AND the exact data-order position
+    # (reference semantics run_distillation.py:697-727; our position is a
+    # pure (epoch, split, batch) key — see train/loader.py docstring)
+    pos = DataPosition()
     last = checkpoint.get_last_checkpoint(arg.output_dir)
     if arg.resume_from_checkpoint and last is not None:
         path, resumed_step, start_epoch = last
         state = checkpoint.load_train_state(path, state)
-        print(f"resumed from {path} (step {resumed_step}, epoch {start_epoch})")
+        saved = DataPosition.load(path)
+        if saved is not None:
+            pos = saved
+        elif steps_per_epoch > 0:
+            # legacy checkpoint without data_state.json: derive from step
+            pos = DataPosition(
+                start_epoch, 0, resumed_step - start_epoch * steps_per_epoch
+            )
+        print(f"resumed from {path} (step {resumed_step}, {pos})")
 
     with mesh:
         teacher = sharded.place_params(
@@ -131,59 +164,44 @@ def main(argv=None) -> None:
             decoder_start_token_id=s_cfg.decoder_start_token_id,
             pad_token_id=s_cfg.pad_token_id,
         )
-        rng = np.random.default_rng(arg.seed)
         step = int(state.step)
         t_last = time.time()
-        done = False
-        steps_per_epoch = len(rows) // global_batch
-        # batch-level resume: replay the RNG shuffle for elapsed epochs and
-        # skip the in-epoch batches already consumed (the reference's
-        # re-shuffle + skip_first_batches, run_distillation.py:697-727)
-        skip_batches = 0
-        if step > 0 and steps_per_epoch > 0:
-            for _ in range(start_epoch):
-                rng.permutation(len(rows))
-            skip_batches = step - start_epoch * steps_per_epoch
-        for epoch in range(start_epoch, arg.num_train_epochs):
-            order = rng.permutation(len(rows))
-            for batch_i, lo in enumerate(
-                range(0, len(order) - global_batch + 1, global_batch)
-            ):
-                if epoch == start_epoch and batch_i < skip_batches:
-                    continue
-                idx = order[lo : lo + global_batch]
-                lab = collate_labels([rows[i]["labels"] for i in idx], ccfg)
-                batch = sharded.place_batch(
-                    mesh,
-                    {
-                        "input_features": jnp.asarray(feats[idx], compute_dtype),
-                        "labels": jnp.asarray(lab["labels"]),
-                        "decoder_input_ids": jnp.asarray(lab["decoder_input_ids"]),
-                    },
-                )
-                state, metrics = step_fn(state, teacher, batch)
-                step += 1
-                if step % arg.logging_steps == 0:
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    metrics["epoch"] = epoch
-                    metrics["time"] = time.time() - t_last
-                    t_last = time.time()
-                    logger.log(metrics, step)
-                    print(f"step {step}: " + ", ".join(
-                        f"{k}={v:.4g}" for k, v in metrics.items()))
-                if step % arg.save_steps == 0:
-                    checkpoint.save_train_state(
-                        arg.output_dir, state, epoch, arg.save_total_limit
-                    )
-                if arg.max_steps > 0 and step >= arg.max_steps:
-                    done = True
-                    break
-            if done:
+        last_pos = pos
+
+        def save(state, pos_next: DataPosition) -> None:
+            ck = checkpoint.save_train_state(
+                arg.output_dir, state, pos_next.epoch, arg.save_total_limit
+            )
+            pos_next.save(ck)
+
+        for bpos, rows_b, feats_b in loader.batches(pos):
+            lab = collate_labels([r["labels"] for r in rows_b], ccfg)
+            batch = sharded.place_batch(
+                mesh,
+                {
+                    "input_features": jnp.asarray(feats_b, compute_dtype),
+                    "labels": jnp.asarray(lab["labels"]),
+                    "decoder_input_ids": jnp.asarray(lab["decoder_input_ids"]),
+                },
+            )
+            state, metrics = step_fn(state, teacher, batch)
+            step += 1
+            last_pos = bpos
+            if step % arg.logging_steps == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["epoch"] = bpos.epoch
+                metrics["split"] = bpos.split
+                metrics["time"] = time.time() - t_last
+                t_last = time.time()
+                logger.log(metrics, step)
+                print(f"step {step}: " + ", ".join(
+                    f"{k}={v:.4g}" for k, v in metrics.items()))
+            if step % arg.save_steps == 0:
+                save(state, loader.next_position(bpos))
+            if arg.max_steps > 0 and step >= arg.max_steps:
                 break
 
-        checkpoint.save_train_state(
-            arg.output_dir, state, epoch, arg.save_total_limit
-        )
+        save(state, loader.next_position(last_pos))
         checkpoint.export_hf_model(
             f"{arg.output_dir}/final", jax.device_get(state.params), s_cfg
         )

@@ -1,45 +1,40 @@
 """Per-chunk dataset merger.
 
 Counterpart of misc/merge_reazon_all_dataset.py: concatenates the per-chunk
-stage outputs (filtered.jsonl + features.npz) into `split_N` groups of
-`chunks_per_split` chunks each (:11-79 — the reference groups 82 chunks
-into splits of 10). Local-file equivalent of the Hub-config merge.
+stage outputs into `split_N` groups of `chunks_per_split` chunks each
+(:11-79 — the reference groups 82 chunks into splits of 10 and pushes each
+as a Hub config). Local-file equivalent of the Hub-config merge, writing
+the **sharded mmap layout** (data/shards.py) so the distillation driver can
+stream a 1,253-hour split with bounded RSS — the reference gets the same
+property from `datasets`' arrow memory-mapping.
+
+Chunks are converted one at a time (each chunk's features.npz is loaded,
+re-sharded, and dropped before the next), so merge memory is bounded by
+one chunk regardless of split size.
 """
 from __future__ import annotations
 
 import os
 
-import numpy as np
-
-from kotoba_whisper_tpu.cli.common import read_jsonl, write_jsonl
+from kotoba_whisper_tpu.data.shards import ShardWriter, convert_npz_dir
 
 
 def merge_chunks(
     chunk_dirs: list[str],
     output_dir: str,
     chunks_per_split: int = 10,
+    shard_size: int = 2048,
 ) -> list[str]:
     """Each chunk dir holds filtered.jsonl (+ features.npz). Returns the
-    split dirs written."""
+    split dirs written (each: filtered.jsonl + features_*.npy + index)."""
     splits = []
     for s, lo in enumerate(range(0, len(chunk_dirs), chunks_per_split)):
         group = chunk_dirs[lo : lo + chunks_per_split]
         split_dir = os.path.join(output_dir, f"split_{s}")
-        os.makedirs(split_dir, exist_ok=True)
-
-        rows = []
-        feats = []
+        writer = ShardWriter(split_dir, shard_size=shard_size)
         for d in group:
-            rows.extend(read_jsonl(os.path.join(d, "filtered.jsonl")))
-            fpath = os.path.join(d, "features.npz")
-            if os.path.exists(fpath):
-                feats.append(np.load(fpath)["input_features"])
-        write_jsonl(os.path.join(split_dir, "filtered.jsonl"), iter(rows))
-        if feats:
-            np.savez(
-                os.path.join(split_dir, "features.npz"),
-                input_features=np.concatenate(feats, axis=0),
-            )
+            convert_npz_dir(d, writer)
+        writer.close()
         splits.append(split_dir)
     return splits
 

@@ -37,13 +37,28 @@ for i in $(seq 0 $((N_CHUNKS - 1))); do
     --timestamp_probability 0.2 --condition_on_prev_probability 0.2
 done
 
+# ---- stage 3.5: merge chunks into split_N training groups ----
+# (misc/merge_reazon_all_dataset.py / v2.0.sh:120 — 82 chunks -> 9 splits
+# of 10, written as the mmap shard layout the trainer streams)
+CHUNKS_PER_SPLIT=${CHUNKS_PER_SPLIT:-10}
+if [ ! -d "$WORK/merged/split_0" ]; then
+  python -m kotoba_whisper_tpu.cli.merge_splits \
+    --work_dir "$WORK" --output_dir "$WORK/merged" \
+    --n_chunks "$N_CHUNKS" --chunks_per_split "$CHUNKS_PER_SPLIT"
+fi
+
 # ---- stage 4: student init (2-layer decoder, v2.0 architecture) ----
 python -m kotoba_whisper_tpu.cli.create_student \
   --teacher "$TEACHER" --save_dir "$WORK/student_init" --decoder_layers 2
 
-# ---- stage 5: distillation, 8 epochs, constant+warmup-500, bf16 ----
+# ---- stage 5: distillation, 8 epochs x all splits, warmup-500, bf16 ----
+# The reference unrolls epochs x splits in bash with next-split Hub
+# prefetch (v2.0.sh:182-202); our driver runs the same schedule in-process
+# (train/loader.py) with page-cache next-split prefetch and an exact
+# (epoch, split, batch) resume position in every checkpoint — re-running
+# this command after a kill resumes mid-split.
 python -m kotoba_whisper_tpu.cli.distill \
-  --data_dir "$WORK/chunk_0/filtered" \
+  --train_splits "$WORK/merged" \
   --student "$WORK/student_init" --teacher "$TEACHER" \
   --tokenizer "$TOKENIZER" --output_dir "$WORK/distilled" \
   --per_device_train_batch_size 32 --learning_rate 1e-4 \

@@ -58,12 +58,20 @@ def test_merge_chunks_and_status(tmp_path):
         chunk_dirs.append(str(d))
 
     splits = merge.merge_chunks(chunk_dirs, str(tmp_path / "merged"),
-                                chunks_per_split=3)
+                                chunks_per_split=3, shard_size=2)
     assert len(splits) == 2
     rows0 = read_jsonl(os.path.join(splits[0], "filtered.jsonl"))
     assert [r["name"] for r in rows0] == ["c0", "c1", "c2"]
-    f0 = np.load(os.path.join(splits[0], "features.npz"))["input_features"]
-    assert f0.shape == (3, 4, 8)
+    # sharded mmap layout: 3 utts at shard_size=2 -> shards of 2 + 1
+    from kotoba_whisper_tpu.data.shards import FeatureStore
+
+    store = FeatureStore(splits[0])
+    assert store.index["shard_sizes"] == [2, 1]
+    f0 = store.gather(np.arange(3))
+    assert f0.shape == (3, 4, 8) and f0.dtype == np.float16
+    np.testing.assert_array_equal(f0[:, 0, 0], [0, 1, 2])
+    # out-of-order gather crosses shards correctly
+    np.testing.assert_array_equal(store.gather([2, 0])[:, 0, 0], [2, 0])
 
     status = merge.chunk_status(str(tmp_path), 6)
     assert status["done"] == [0, 1, 2, 3]
