@@ -56,6 +56,19 @@ def main(argv=None) -> None:
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--no_fuse", action="store_true",
                     help="skip the lossless inference projection fusion")
+    ap.add_argument("--streaming", action="store_true",
+                    help="continuous-batching greedy decode "
+                    "(decode/streaming.py): rows refill as they finish, so "
+                    "throughput tracks the mean label length instead of "
+                    "the per-batch max; greedy only")
+    ap.add_argument("--num_devices", type=int, default=1,
+                    help="data-parallel decode across the first N local "
+                    "devices: the batch axis is mesh-sharded and results "
+                    "gathered (the reference's DP generate loop, "
+                    "run_pseudo_labelling.py:330-341)")
+    ap.add_argument("--mesh_model_axis", type=int, default=1,
+                    help="tensor-parallel factor for the teacher (sharded "
+                    "decode; combine with --num_devices)")
     arg = ap.parse_args(argv)
 
     import jax
@@ -106,9 +119,39 @@ def main(argv=None) -> None:
         for lang, task in lang_tasks
     }
 
+    # in-driver DP/TP: shard the batch (and optionally the teacher) over a
+    # local-device mesh; XLA inserts the collectives. The reference does
+    # this with an accelerate-sharded dataloader + gather_for_metrics
+    # (run_pseudo_labelling.py:330-341).
+    mesh = None
+    if arg.num_devices > 1 or arg.mesh_model_axis > 1:
+        from kotoba_whisper_tpu.core.mesh import MeshConfig, build_mesh
+        from kotoba_whisper_tpu.parallel import sharded
+
+        n_dev = arg.num_devices * arg.mesh_model_axis
+        mesh = build_mesh(
+            MeshConfig(data=arg.num_devices, model=arg.mesh_model_axis),
+            jax.devices()[:n_dev],
+        )
+        params = sharded.place_params(
+            mesh, params, model_sharded=arg.mesh_model_axis > 1
+        )
+        assert arg.batch_size % arg.num_devices == 0, (
+            "batch_size must divide across --num_devices"
+        )
+
+    def place(mel):
+        if mesh is None:
+            return mel
+        from kotoba_whisper_tpu.parallel import sharded
+
+        return sharded.place_batch(mesh, mel)
+
     def generate(batch_audio: np.ndarray) -> dict[str, np.ndarray]:
-        mel = log_mel_spectrogram(jnp.asarray(batch_audio), feat).astype(
-            compute_dtype
+        mel = place(
+            log_mel_spectrogram(jnp.asarray(batch_audio), feat).astype(
+                compute_dtype
+            )
         )
         out = {}
         for key, opts in task_opts.items():
@@ -164,40 +207,117 @@ def main(argv=None) -> None:
             if good:
                 yield good, audio, collate_audio(audio, ccfg)
 
-    def rows():
+    main_key = next(iter(task_opts))
+
+    def make_record(u, wav, per_task, bi, writer):
+        record = {"name": u.name, "transcription": u.transcription}
+        for key, toks in per_task.items():
+            ids = toks[bi].tolist()
+            if tok.special.eot in ids:
+                ids = ids[: ids.index(tok.special.eot) + 1]
+            col = (
+                "whisper_transcript"
+                if not arg.text_lang_task
+                else f"whisper_transcript/{key}"
+            )
+            record[col] = ids
+            if key == main_key:
+                text = tok.decode(
+                    ids, skip_special_tokens=False,
+                    decode_with_timestamps=True,
+                )
+                writer.writerow([u.name, text])
+        tp.add(len(wav) / feat.sampling_rate)
+        return record
+
+    def rows_lockstep(writer):
         nonlocal n_done
+        for batch, audio, arr in interleave_prefetch(host_batches()):
+            if arg.limit is not None and n_done >= arg.limit:
+                break
+            if arr.shape[0] < arg.batch_size:
+                # pad ragged batches to the full width: one compiled shape,
+                # and DP sharding always divides
+                pad_rows = arg.batch_size - arr.shape[0]
+                arr = np.concatenate(
+                    [arr, np.zeros((pad_rows,) + arr.shape[1:], arr.dtype)]
+                )
+            per_task = generate(arr)
+            for bi, (u, wav) in enumerate(zip(batch, audio)):
+                n_done += 1
+                yield make_record(u, wav, per_task, bi, writer)
+
+    def rows_streaming(writer):
+        """Continuous batching: accumulate a super-batch of utterances,
+        stream-decode it with row refill (throughput tracks the mean label
+        length), emit records in input order."""
+        nonlocal n_done
+        from kotoba_whisper_tpu.decode.streaming import (
+            StreamConfig,
+            generate_greedy_streaming,
+        )
+
+        scfg = StreamConfig(
+            batch=arg.batch_size,
+            encode_batch=min(16, arg.batch_size),
+            steps_per_round=8,
+        )
+        super_n = arg.batch_size * 4
+
+        def flush(buf):
+            nonlocal n_done
+            mels = np.concatenate([
+                np.asarray(
+                    log_mel_spectrogram(
+                        jnp.asarray(np.stack([row for _, _, row in chunk])),
+                        feat,
+                    ),
+                    np.float32,
+                )
+                for chunk in common.batched(buf, scfg.encode_batch)
+            ])
+            per_task = {
+                key: generate_greedy_streaming(
+                    params, cfg, mels, opts, tok.special,
+                    compute_dtype=compute_dtype, attn_impl=attn_impl,
+                    kv_dtype=arg.kv_dtype, stream=scfg,
+                )
+                for key, opts in task_opts.items()
+            }
+            for bi, (u, wav, _) in enumerate(buf):
+                n_done += 1
+                yield make_record(u, wav, per_task, bi, writer)
+
+        buf = []
+        for batch, audio, arr in interleave_prefetch(host_batches()):
+            for bi, (u, wav) in enumerate(zip(batch, audio)):
+                if arg.limit is not None and n_done + len(buf) >= arg.limit:
+                    break
+                buf.append((u, wav, arr[bi]))
+            if len(buf) >= super_n:
+                yield from flush(buf[:super_n])
+                buf = buf[super_n:]
+            if arg.limit is not None and n_done + len(buf) >= arg.limit:
+                break
+        if buf:
+            yield from flush(buf)
+
+    def rows():
         with open(csv_path, "w", newline="") as cf:
             writer = csv.writer(cf)
             writer.writerow(["file_id", "whisper_transcript"])
-            for batch, audio, arr in interleave_prefetch(host_batches()):
-                if arg.limit is not None and n_done >= arg.limit:
-                    break
-                per_task = generate(arr)
-                main_key = next(iter(task_opts))
-                for bi, (u, wav) in enumerate(zip(batch, audio)):
-                    record = {
-                        "name": u.name,
-                        "transcription": u.transcription,
-                    }
-                    for key, toks in per_task.items():
-                        ids = toks[bi].tolist()
-                        if tok.special.eot in ids:
-                            ids = ids[: ids.index(tok.special.eot) + 1]
-                        col = (
-                            "whisper_transcript"
-                            if not arg.text_lang_task
-                            else f"whisper_transcript/{key}"
-                        )
-                        record[col] = ids
-                        if key == main_key:
-                            text = tok.decode(
-                                ids, skip_special_tokens=False,
-                                decode_with_timestamps=True,
-                            )
-                            writer.writerow([u.name, text])
-                    tp.add(len(wav) / feat.sampling_rate)
-                    n_done += 1
-                    yield record
+            if arg.streaming and arg.num_beams == 1 and mesh is None:
+                yield from rows_streaming(writer)
+            else:
+                if arg.streaming:
+                    import sys
+
+                    print(
+                        "warning: --streaming needs greedy decode on a "
+                        "single device; using lockstep batching",
+                        file=sys.stderr,
+                    )
+                yield from rows_lockstep(writer)
 
     n = common.write_jsonl(jsonl_path, rows())
     rate = tp.rate()

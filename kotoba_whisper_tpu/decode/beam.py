@@ -1,14 +1,26 @@
 """Beam-search generation with KV cache, static shapes, lax.while_loop.
 
 TPU-native equivalent of `generate(num_beams=N)` at
-run_pseudo_labelling.py:302-311,338. The algorithm is the standard
-flatten-and-regrow beam search (the same family HF's BeamSearchScorer
-implements): each step scores all beams, takes the top 2K candidates over
-the flattened (K*V) space, routes emitted <|endoftext|> candidates into a
-finished set scored with length penalty, and keeps the best K unfinished
-beams alive. Termination: all batch rows are done when the best possible
-alive score can no longer beat the worst finished score (early_stopping=False
-semantics), or max_length is reached.
+run_pseudo_labelling.py:302-311,338, matching transformers' vectorized
+`GenerationMixin._beam_search` semantics TOKEN-EXACTLY (verified against
+HF generate in tests/test_beam_parity.py). The behavioral contract:
+
+- per-step scores are log_softmax of the RAW logits, with the logits
+  rules applied to the log-probs afterwards — no renormalization over the
+  unmasked set (HF applies processors after log_softmax);
+- top 2K candidates over the flattened (K*V) space; a candidate "hits
+  stopping" when it emits <|endoftext|> OR the sequence reaches
+  max_length (HF's MaxLengthCriteria force-finalizes every candidate at
+  the final step);
+- only candidates ranked < K may enter the finished set
+  (`top_num_beam_mask`), scored sum_logprobs / (generated_len **
+  length_penalty); the finished set keeps the best K by penalized score;
+- stopping-hit candidates get -1e9 ADDED for the alive top-K (HF's exact
+  arithmetic, kept for tie parity);
+- early_stopping=False heuristic: once a batch row's best running score /
+  ((cur_len - prompt_len) ** penalty) can no longer beat its worst
+  finished score, the row stops ACCEPTING new finished hypotheses (and
+  the loop ends when every row is in that state).
 
 Layout notes (TPU-first):
   - beams live in the batch axis: (B, K, ...) flattened to (B*K, ...) for
@@ -31,7 +43,7 @@ from kotoba_whisper_tpu.decode.greedy import GenerateOptions
 from kotoba_whisper_tpu.decode.logits_rules import apply_rules
 from kotoba_whisper_tpu.models import whisper
 
-NEG_INF = -1.0e7  # finite sentinel: keeps masked lanes orderable
+NEG_INF = -1.0e9  # HF's exact sentinel (matters for tie/score parity)
 
 
 def _flatten_beams(x):
@@ -114,26 +126,19 @@ def generate_beam(
 
     def length_pen(cur_len):
         # HF: score = sum_logprobs / (generated_len ** penalty); generated
-        # length counts tokens after the prompt, including eot
+        # length counts tokens after the prompt, including the final token
         gen_len = (cur_len + 1 - p).astype(jnp.float32)
         return jnp.maximum(gen_len, 1.0) ** length_penalty
 
+    unsat = jnp.ones((b,), bool)  # early-stop heuristic still unsatisfied
+
     def cond(state):
-        tokens, cache, alive_logp, fins, cur_len = state
-        fin_tokens, fin_scores, fin_exists = fins
-        # best achievable alive score (optimistic: max-length penalty) vs
-        # worst kept finished score — early_stopping=False semantics
-        best_alive = jnp.max(alive_logp, axis=1) / length_pen(
-            jnp.asarray(max_len - 1)
-        )
-        worst_fin = jnp.min(
-            jnp.where(fin_exists, fin_scores, NEG_INF), axis=1
-        )
-        done = jnp.all(fin_exists, axis=1) & (worst_fin >= best_alive)
-        return (cur_len < max_len) & ~jnp.all(done)
+        tokens, cache, alive_logp, fins, unsat, cur_len = state
+        # valid_continuations (cur_len < max_len) & improvement_possible
+        return (cur_len < max_len) & jnp.any(unsat)
 
     def body(state):
-        tokens, cache, alive_logp, fins, cur_len = state
+        tokens, cache, alive_logp, fins, unsat, cur_len = state
         fin_tokens, fin_scores, fin_exists = fins
 
         flat_tokens = _flatten_beams(tokens)
@@ -142,12 +147,14 @@ def generate_beam(
             params, cfg, last, cache=cache,
             compute_dtype=compute_dtype, attn_impl=attn_impl,
         )
-        masked = apply_rules(
-            logits[:, 0].astype(jnp.float32), flat_tokens, cur_len, rc
+        # HF order: log_softmax FIRST, rules on the log-probs (no
+        # renormalization over the unmasked set)
+        logp_step = apply_rules(
+            jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1),
+            flat_tokens, cur_len, rc,
         )
-        logp = jax.nn.log_softmax(masked, axis=-1)  # (B*K, V)
-        v = logp.shape[-1]
-        logp = _unflatten_beams(logp, b, k) + alive_logp[..., None]
+        v = logp_step.shape[-1]
+        logp = _unflatten_beams(logp_step, b, k) + alive_logp[..., None]
 
         # top 2K over flattened beam*vocab
         flat = logp.reshape(b, k * v)
@@ -160,21 +167,28 @@ def generate_beam(
         cand_tokens = jax.lax.dynamic_update_slice_in_dim(
             cand_tokens, top_tok[..., None].astype(jnp.int32), cur_len, axis=2
         )
-        is_eot = top_tok == eot
+        # stopping hit: eot, or the sequence just reached max_length
+        # (HF's MaxLengthCriteria force-finalizes the last step)
+        hits = (top_tok == eot) | (cur_len + 1 >= max_len)
 
-        # --- finished set update ---
-        cand_fin_scores = top_logp / length_pen(cur_len)
-        cand_fin_scores = jnp.where(is_eot, cand_fin_scores, NEG_INF)
+        # --- finished set update (HF _update_finished_beams) ---
+        # only ranks < K are eligible, and only while the row's early-stop
+        # heuristic is unsatisfied
+        top_num_beam = jnp.arange(2 * k)[None, :] < k
+        eligible = hits & top_num_beam & unsat[:, None]
+        cand_fin_scores = jnp.where(
+            eligible, top_logp / length_pen(cur_len), NEG_INF
+        )
         all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], axis=1)
         all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=1)
-        all_fin_exists = jnp.concatenate([fin_exists, is_eot], axis=1)
+        all_fin_exists = jnp.concatenate([fin_exists, eligible], axis=1)
         fin_top, fin_idx = jax.lax.top_k(all_fin_scores, k)
         fin_tokens = _gather_beams(all_fin_tokens, fin_idx, b)
         fin_scores = fin_top
         fin_exists = jnp.take_along_axis(all_fin_exists, fin_idx, axis=1)
 
-        # --- alive set update: best K non-eot candidates ---
-        alive_cand = jnp.where(is_eot, NEG_INF, top_logp)
+        # --- alive set update: HF ADDS -1e9 to stopping-hit candidates ---
+        alive_cand = top_logp + hits.astype(jnp.float32) * NEG_INF
         alive_top, alive_idx = jax.lax.top_k(alive_cand, k)
         new_tokens = _gather_beams(cand_tokens, alive_idx, b)
         alive_beam = jnp.take_along_axis(top_beam, alive_idx, axis=1)
@@ -197,35 +211,54 @@ def generate_beam(
             new_cache.cross_k_scale,
             new_cache.cross_v_scale,
         )
+
+        # --- early-stop heuristic (HF _check_early_stop_heuristic,
+        # early_stopping=False): best running score at the NEW length vs
+        # the row's worst finished slot; sticky once satisfied ---
+        new_len = cur_len + 1
+        best_possible = alive_top[:, 0] / jnp.maximum(
+            (new_len - p).astype(jnp.float32), 1.0
+        ) ** length_penalty
+        worst = jnp.where(
+            fin_exists, jnp.min(fin_scores, axis=1, keepdims=True), NEG_INF
+        )  # (B, K): -1e9 wherever a slot is still unfinished
+        unsat = unsat & jnp.any(best_possible[:, None] > worst, axis=1)
+
         return (
             new_tokens,
             new_cache,
             alive_top,
             (fin_tokens, fin_scores, fin_exists),
-            cur_len + 1,
+            unsat,
+            new_len,
         )
 
     state = (
         tokens, cache, alive_logp,
         (fin_tokens, fin_scores, fin_exists),
+        unsat,
         jnp.asarray(p, jnp.int32),
     )
-    tokens, _, alive_logp, fins, cur_len = jax.lax.while_loop(cond, body, state)
+    tokens, _, alive_logp, fins, _, cur_len = jax.lax.while_loop(
+        cond, body, state
+    )
     fin_tokens, fin_scores, fin_exists = fins
 
-    # fall back to best alive beam when a row never finished
+    # fin_scores is top_k-sorted descending; slot 0 is the best finished
+    # hypothesis. The max-length force-finalization guarantees existence
+    # whenever the loop ran to the end; the alive fallback only covers the
+    # degenerate heuristic-stop-before-any-finish case.
     any_fin = jnp.any(fin_exists, axis=1)
-    best_fin = jnp.argmax(fin_scores, axis=1)
     best_alive_idx = jnp.argmax(alive_logp, axis=1)
     alive_scores = alive_logp / length_pen(cur_len - 1)
     out_tokens = jnp.where(
         any_fin[:, None],
-        jnp.take_along_axis(fin_tokens, best_fin[:, None, None], axis=1)[:, 0],
+        fin_tokens[:, 0],
         jnp.take_along_axis(tokens, best_alive_idx[:, None, None], axis=1)[:, 0],
     )
     out_scores = jnp.where(
         any_fin,
-        jnp.take_along_axis(fin_scores, best_fin[:, None], axis=1)[:, 0],
+        fin_scores[:, 0],
         jnp.take_along_axis(alive_scores, best_alive_idx[:, None], axis=1)[:, 0],
     )
     return out_tokens, out_scores

@@ -41,13 +41,19 @@ class RuleConfig:
 def apply_rules(
     logits: jax.Array,      # (B, V) fp32
     tokens: jax.Array,      # (B, L) token buffer (prefill + generated so far)
-    cur_len: jax.Array,     # scalar int32: number of valid tokens in buffer
+    cur_len: jax.Array,     # int32: valid tokens in buffer — scalar
+                            # (lockstep batch) or (B,) per-row counts
+                            # (continuous-batching decode)
     rc: RuleConfig,
 ) -> jax.Array:
     """Masked logits for sampling position `cur_len` (0-based)."""
-    v = logits.shape[-1]
+    b, v = logits.shape
     st = rc.special
     vocab_ids = jnp.arange(v)
+    cur = jnp.asarray(cur_len, jnp.int32)
+    if cur.ndim == 0:
+        cur = cur[None]
+    cur_col = cur[:, None]  # (B, 1) or (1, 1) — broadcasts over rows
 
     # global suppress list
     if rc.suppress_tokens:
@@ -60,7 +66,7 @@ def apply_rules(
             jnp.asarray(rc.begin_suppress_tokens)
         ].set(True)
         logits = jnp.where(
-            (cur_len == rc.begin_index) & bsup[None], NEG_INF, logits
+            (cur_col == rc.begin_index) & bsup[None], NEG_INF, logits
         )
 
     if not rc.return_timestamps:
@@ -71,14 +77,12 @@ def apply_rules(
     # --- WhisperTimeStampLogitsProcessor ---
     logits = logits.at[:, st.no_timestamps].set(NEG_INF)
 
-    n_sampled = cur_len - rc.begin_index  # tokens generated after prompt
+    n_sampled = cur - rc.begin_index  # tokens generated after prompt
     last_tok = jnp.take_along_axis(
-        tokens, jnp.maximum(cur_len - 1, 0)[None, None].repeat(tokens.shape[0], 0),
-        axis=1,
+        tokens, jnp.broadcast_to(jnp.maximum(cur_col - 1, 0), (b, 1)), axis=1
     )[:, 0]
     penult_tok = jnp.take_along_axis(
-        tokens, jnp.maximum(cur_len - 2, 0)[None, None].repeat(tokens.shape[0], 0),
-        axis=1,
+        tokens, jnp.broadcast_to(jnp.maximum(cur_col - 2, 0), (b, 1)), axis=1
     )[:, 0]
     last_was_ts = (n_sampled >= 1) & (last_tok >= ts_begin)
     penult_was_ts = (n_sampled < 2) | (penult_tok >= ts_begin)
@@ -96,7 +100,7 @@ def apply_rules(
 
     # monotonicity: mask timestamps < timestamp_last
     pos = jnp.arange(tokens.shape[1])[None]
-    sampled_mask = (pos >= rc.begin_index) & (pos < cur_len)
+    sampled_mask = (pos >= rc.begin_index) & (pos < cur_col)
     ts_mask = sampled_mask & (tokens >= ts_begin)
     any_ts = jnp.any(ts_mask, axis=1)
     last_ts_val = jnp.max(jnp.where(ts_mask, tokens, -1), axis=1)
@@ -107,7 +111,7 @@ def apply_rules(
     logits = jnp.where(any_ts[:, None] & below_last, NEG_INF, logits)
 
     # first sampled token must be a timestamp, capped at initial index
-    at_begin = cur_len == rc.begin_index
+    at_begin = cur_col == rc.begin_index  # (B, 1) / (1, 1)
     logits = jnp.where(at_begin & (vocab_ids < ts_begin)[None], NEG_INF, logits)
     if rc.max_initial_timestamp_index is not None:
         last_allowed = ts_begin + rc.max_initial_timestamp_index

@@ -399,17 +399,33 @@ def decode(
     Incremental mode (cache given): input_ids is the next token block
     (B, T_new); self-attention attends to cache[0:length+T_new]; returns
     (logits, updated_cache).
+
+    cache.length may be a scalar (lockstep batch — every row at the same
+    position) or a (B,) vector (continuous-batching decode, where refilled
+    rows sit at different positions; decode/streaming.py). The vector form
+    supports single-token steps only (t == 1): positions are per-row
+    gathers and KV writes are per-row scatters.
     """
     dec = params["decoder"]
     n_heads = cfg.decoder_attention_heads
     b, t = input_ids.shape
+    row_lengths = (
+        cache is not None and getattr(cache.length, "ndim", 0) == 1
+    )
+    assert not (row_lengths and t != 1), "per-row lengths need t == 1"
 
     x = dec["embed_tokens"]["embedding"].astype(compute_dtype)[input_ids]
-    pos0 = cache.length if cache is not None else 0
-    positions = jax.lax.dynamic_slice_in_dim(
-        dec["pos_embedding"].astype(compute_dtype), pos0, t, axis=0
-    )
-    x = x + positions[None]
+    if row_lengths:
+        positions = jnp.take(
+            dec["pos_embedding"].astype(compute_dtype), cache.length, axis=0
+        )[:, None]  # (B, 1, D)
+        x = x + positions
+    else:
+        pos0 = cache.length if cache is not None else 0
+        positions = jax.lax.dynamic_slice_in_dim(
+            dec["pos_embedding"].astype(compute_dtype), pos0, t, axis=0
+        )
+        x = x + positions[None]
 
     if cache is None:
         assert encoder_out is not None
@@ -489,6 +505,15 @@ def decode(
             return v.reshape(b_, t_, d_).astype(compute_dtype)
         return (v * scale).astype(compute_dtype)
 
+    def cache_write(buf, new, start):
+        """Write (B, t, *) `new` at time offset(s) `start` into (B, cap, *):
+        one dynamic_update_slice when the batch is lockstep (scalar start),
+        a per-row scatter when rows sit at different positions."""
+        new = new.astype(buf.dtype)
+        if row_lengths:
+            return buf.at[jnp.arange(b), start].set(new[:, 0])
+        return jax.lax.dynamic_update_slice_in_dim(buf, new, start, axis=1)
+
     def block(x, layer_in):
         (lp, self_k, self_v, cross_k, cross_v,
          sk_s, sv_s, ck_s, cv_s) = layer_in
@@ -503,18 +528,10 @@ def decode(
         if int8_kv:
             k_new, k_new_s = quantize_new(k_new)
             v_new, v_new_s = quantize_new(v_new)
-            sk_s = jax.lax.dynamic_update_slice_in_dim(
-                sk_s, k_new_s, cache.length, axis=1
-            )
-            sv_s = jax.lax.dynamic_update_slice_in_dim(
-                sv_s, v_new_s, cache.length, axis=1
-            )
-        self_k = jax.lax.dynamic_update_slice_in_dim(
-            self_k, k_new.astype(self_k.dtype), cache.length, axis=1
-        )
-        self_v = jax.lax.dynamic_update_slice_in_dim(
-            self_v, v_new.astype(self_v.dtype), cache.length, axis=1
-        )
+            sk_s = cache_write(sk_s, k_new_s, cache.length)
+            sv_s = cache_write(sv_s, v_new_s, cache.length)
+        self_k = cache_write(self_k, k_new, cache.length)
+        self_v = cache_write(self_v, v_new, cache.length)
         if t == 1:
             o_flat = flat_or_ref(
                 q_flat, self_k, self_v, cache.length + 1,

@@ -68,7 +68,10 @@ def decode_attention_reference(
     per-row groups (int8 mode), or (B,T,H) for per-head 64-dim groups
     (int4 mode) — per-head folding is exact because qd is block-diagonal,
     so scores[b,t,h] only mixes head h's block of k, and w_exp expands
-    w[b,t,h] back onto exactly that block of v."""
+    w[b,t,h] back onto exactly that block of v.
+
+    valid_len: scalar (lockstep batch) or (B,) per-row counts (continuous-
+    batching decode, where refilled rows sit at different positions)."""
     b, t, dh = k_flat.shape
     hd = dh // n_heads
     e = jnp.asarray(_expand_matrix(n_heads, hd))
@@ -81,7 +84,10 @@ def decode_attention_reference(
     )
     if k_scale is not None:
         scores = scores * k_scale.astype(jnp.float32)
-    mask = jnp.arange(t)[None, :, None] < valid_len
+    valid = jnp.asarray(valid_len)
+    if valid.ndim == 1:
+        valid = valid[:, None, None]                # (B, 1, 1) per-row
+    mask = jnp.arange(t)[None, :, None] < valid
     scores = jnp.where(mask, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=1)              # softmax over T
     if v_scale is not None:
@@ -114,7 +120,7 @@ def _kernel(
 ):
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-    valid = valid_len_ref[0]
+    valid = valid_len_ref[pl.program_id(0)]
 
     @pl.when(j == 0)
     def _():
@@ -161,7 +167,7 @@ def decode_attention_flat(
     q: jax.Array,          # (B, H, hd)
     k_flat: jax.Array,     # (B, T, dh)
     v_flat: jax.Array,
-    valid_len: jax.Array,  # scalar int32
+    valid_len: jax.Array,  # scalar int32, or (B,) per-row counts
     *,
     n_heads: int,
     chunk: int = DEFAULT_CHUNK,
@@ -180,7 +186,9 @@ def decode_attention_flat(
 
     qd = _qd(q.astype(jnp.float32), n_heads)        # (B, dh, H)
     e = jnp.asarray(_expand_matrix(n_heads, hd))
-    valid = jnp.full((1,), valid_len, jnp.int32)
+    valid = jnp.broadcast_to(
+        jnp.asarray(valid_len, jnp.int32).reshape(-1), (b,)
+    )
 
     out = pl.pallas_call(
         functools.partial(_kernel, chunk=chunk),

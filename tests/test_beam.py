@@ -43,7 +43,9 @@ def setup():
 
 
 def _seq_logprob(params, cfg, mel, tokens, opts):
-    """Sum of rule-masked log-probs of `tokens` under the model."""
+    """Sum of per-token log-probs of `tokens` under the model, HF beam
+    semantics: log_softmax of the RAW logits first, rules applied to the
+    log-probs after (masking without renormalization)."""
     p = len(opts.prompt_ids)
     rc = opts.rule_config(ST)
     enc = whisper.encode(params, cfg, mel)
@@ -56,13 +58,12 @@ def _seq_logprob(params, cfg, mel, tokens, opts):
         lg, cache = whisper.decode(
             params, cfg, tokens[:, cur_len - 1 : cur_len], cache=cache
         )
-        masked = np.asarray(
+        logp = np.asarray(
             apply_rules(
-                jnp.asarray(lg[:, 0], jnp.float32),
+                jax.nn.log_softmax(jnp.asarray(lg[:, 0], jnp.float32), axis=-1),
                 jnp.asarray(buf), jnp.asarray(cur_len), rc,
             )
         )
-        logp = masked - np.log(np.exp(masked - masked.max(-1, keepdims=True)).sum(-1, keepdims=True)) - masked.max(-1, keepdims=True)
         for i in range(tokens.shape[0]):
             t = int(buf[i, cur_len])
             if alive[i]:

@@ -246,3 +246,33 @@ def test_bilingual_pipeline(dataset_dir, tmp_path):
     assert "train/ce_loss.transcribe.ja" in keys
     assert "train/ce_loss.translate.en" in keys
     assert "train/kl_loss.transcribe.ja" in keys
+
+
+@pytest.mark.slow
+def test_pseudo_label_dp_and_streaming_match(dataset_dir, tmp_path):
+    """In-driver data-parallel decode (mesh-sharded batch, the reference's
+    run_pseudo_labelling.py:330-341 DP loop) and continuous-batching
+    streaming decode both produce token-identical pseudo-labels to the
+    single-device lockstep driver."""
+    import json as _json
+
+    from kotoba_whisper_tpu.cli import pseudo_label
+
+    def run(out, extra):
+        pseudo_label.main([
+            "--dataset_dir", dataset_dir,
+            "--output_dir", out,
+            "--model", "preset:test-byte",
+            "--tokenizer", "byte",
+            "--batch_size", "2",
+            "--max_label_length", "20",
+            "--dtype", "float32",
+        ] + extra)
+        rows = [_json.loads(l) for l in open(f"{out}/pseudo_labels.jsonl")]
+        return {r["name"]: r["whisper_transcript"] for r in rows}
+
+    base = run(f"{tmp_path}/base", [])
+    dp = run(f"{tmp_path}/dp", ["--num_devices", "2"])
+    stream = run(f"{tmp_path}/stream", ["--streaming"])
+    assert base == dp
+    assert base == stream

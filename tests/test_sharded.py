@@ -104,3 +104,77 @@ def test_stacked_layer_pspec_shapes_applied(setup):
     leaf = p["encoder"]["layers"]["fc1"]["kernel"]  # (L, 64, 128)
     shard = leaf.addressable_shards[0].data
     assert shard.shape == (cfg.encoder_layers, cfg.d_model, cfg.encoder_ffn_dim // 4)
+
+
+@pytest.mark.parametrize("kv_dtype", ["int8", "int4"])
+def test_tp_sharded_quantized_kv_decode_matches(setup, kv_dtype):
+    """The int8/int4 cache paths — init_cache's per-layer lax.map
+    quantization, per-row/per-head scale tensors, and the scale-folding
+    decode attention — must be token-identical under a model-sharded mesh
+    (SURVEY.md §7.3 'sharded teacher decode')."""
+    cfg, params, mel = setup
+    prompt = (ST.sot, ST.lang_begin + 6, ST.transcribe)
+    opts = GenerateOptions(prompt_ids=prompt, max_length=16)
+
+    golden = np.asarray(
+        generate_greedy(params, cfg, mel, opts, ST, kv_dtype=kv_dtype)
+    )
+    mesh = build_mesh(MeshConfig(data=2, model=4))
+    with mesh:
+        p_sharded = sharded.place_params(mesh, params, model_sharded=True)
+        mel_sharded = sharded.place_batch(mesh, mel)
+        out = np.asarray(
+            generate_greedy(
+                p_sharded, cfg, mel_sharded, opts, ST, kv_dtype=kv_dtype
+            )
+        )
+    np.testing.assert_array_equal(out, golden)
+
+
+def test_tp_sharded_beam_matches(setup):
+    """Beam search under TP: the hypothesis-reorder gather lives on the
+    (data-sharded) batch axis and beam scores are replicated — tokens must
+    match the unsharded run exactly."""
+    from kotoba_whisper_tpu.decode.beam import generate_beam
+
+    cfg, params, mel = setup
+    prompt = (ST.sot, ST.lang_begin + 6, ST.transcribe)
+    opts = GenerateOptions(prompt_ids=prompt, max_length=12)
+
+    g_tokens, g_scores = generate_beam(
+        params, cfg, mel, opts, ST, num_beams=3
+    )
+    mesh = build_mesh(MeshConfig(data=2, model=4))
+    with mesh:
+        p_sharded = sharded.place_params(mesh, params, model_sharded=True)
+        mel_sharded = sharded.place_batch(mesh, mel)
+        s_tokens, s_scores = generate_beam(
+            p_sharded, cfg, mel_sharded, opts, ST, num_beams=3
+        )
+    np.testing.assert_array_equal(np.asarray(s_tokens), np.asarray(g_tokens))
+    np.testing.assert_allclose(
+        np.asarray(s_scores), np.asarray(g_scores), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_tp_sharded_streaming_decode_matches(setup):
+    """Continuous-batching decode under a pure-TP mesh (model axis only —
+    the decode window is host-driven, so the batch axis stays local)."""
+    from kotoba_whisper_tpu.decode.streaming import (
+        StreamConfig,
+        generate_greedy_streaming,
+    )
+
+    cfg, params, mel = setup
+    prompt = (ST.sot, ST.lang_begin + 6, ST.transcribe)
+    opts = GenerateOptions(prompt_ids=prompt, max_length=16)
+    golden = np.asarray(generate_greedy(params, cfg, mel, opts, ST))
+
+    mesh = build_mesh(MeshConfig(data=1, model=8))
+    with mesh:
+        p_sharded = sharded.place_params(mesh, params, model_sharded=True)
+        out = generate_greedy_streaming(
+            p_sharded, cfg, np.asarray(mel), opts, ST,
+            stream=StreamConfig(batch=2, encode_batch=2, steps_per_round=4),
+        )
+    np.testing.assert_array_equal(out, golden)
