@@ -74,7 +74,7 @@ def main(argv=None) -> None:
     transcribe = pipe.transcribe
     if arg.punctuator or arg.stable_ts:
         from kotoba_whisper_tpu.eval.punctuator import Punctuator
-        from kotoba_whisper_tpu.eval.timestamp_repair import repair_timestamps
+        from kotoba_whisper_tpu.eval.timestamp_repair import fix_timestamps
 
         punct = Punctuator() if arg.punctuator else None
 
@@ -82,7 +82,9 @@ def main(argv=None) -> None:
             out = pipe(audio)
             chunks = out["chunks"]
             if arg.stable_ts:
-                chunks = repair_timestamps(chunks, len(audio) / 16000)
+                # None-fill + monotonicity + silence-based boundary
+                # adjustment on the waveform (stable_timestamp.py:60-75)
+                chunks = fix_timestamps(chunks, audio, 16000)
             if punct is not None:
                 chunks = punct.punctuate(chunks)
             return "".join(c["text"] for c in chunks) if chunks else out["text"]

@@ -104,3 +104,62 @@ def test_prepare_eval_set_roundtrip(tmp_path, rng):
     import os
 
     assert len([f for f in os.listdir(dst) if f.endswith(".tar")]) == 3
+
+
+def test_punctuator_reference_validation_rules():
+    """Exact port of misc/whisper_add_on/punctuator.py:17-26: reject 'unk'
+    outputs; collapse multiple 。 keeping the LAST position."""
+    from kotoba_whisper_tpu.eval.punctuator import validate_punctuation
+
+    assert validate_punctuation("raw text", "has unk marker") == "raw text"
+    # multiple 。-> keep only the last one; the reference computes the
+    # reinsertion index on the ORIGINAL string and applies it to the
+    # stripped one (punctuator.py:20-23) — reproduce that exactly
+    assert validate_punctuation("ab", "a。b。") == "ab。"
+    assert validate_punctuation("abc", "a。b。c") == "abc。"
+    # single 。 untouched
+    assert validate_punctuation("ab", "ab。") == "ab。"
+
+
+def test_adjust_by_silence_snaps_to_speech_edges():
+    """stable_timestamp.py:60-75 semantics: boundaries inside detected
+    silence snap to the nearest speech edge."""
+    from kotoba_whisper_tpu.eval.timestamp_repair import (
+        adjust_by_silence,
+        fix_timestamps,
+        nonspeech_sections,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    silence = np.zeros(sr, np.float32)
+    # [0,1) silence, [1,2) speech, [2,3) silence, [3,4) speech, [4,5) silence
+    audio = np.concatenate([silence, tone, silence, tone, silence])
+
+    secs = nonspeech_sections(audio, sr)
+    assert len(secs) == 3
+    for (a, b), (ea, eb) in zip(secs, [(0, 1), (2, 3), (4, 5)]):
+        assert abs(a - ea) < 0.1 and abs(b - eb) < 0.1
+
+    chunks = [
+        {"timestamp": (0.2, 2.5), "text": "x"},
+        {"timestamp": (2.6, 4.8), "text": "y"},
+    ]
+    out = adjust_by_silence(chunks, audio, sr)
+    (s0, e0), (s1, e1) = out[0]["timestamp"], out[1]["timestamp"]
+    assert abs(s0 - 1.0) < 0.1 and abs(e0 - 2.0) < 0.1
+    assert abs(s1 - 3.0) < 0.1 and abs(e1 - 4.0) < 0.1
+
+    # boundaries already on speech stay put; tiny silence overlap ignored
+    ok = [{"timestamp": (1.05, 1.95), "text": "z"}]
+    out2 = adjust_by_silence(ok, audio, sr)
+    assert out2[0]["timestamp"] == (1.05, 1.95)
+
+    # full pipeline: None-fill then silence adjustment
+    out3 = fix_timestamps(
+        [{"timestamp": (0.2, None), "text": "x"},
+         {"timestamp": (2.6, 4.8), "text": "y"}],
+        audio, sr,
+    )
+    assert out3[0]["timestamp"][0] >= 0.9
