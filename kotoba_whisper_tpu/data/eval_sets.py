@@ -7,7 +7,7 @@ directories in one of these layouts (auto-detected):
 
   1. tar shards + transcript.tsv  (ReazonSpeech-style; data/reazon.py)
   2. a jsonl manifest: rows {"audio": path, "text": str} with audio files
-     (FLAC/WAV) relative to the manifest — the layout ESB corpora reduce
+     (FLAC/WAV/MP3) relative to the manifest — the layout ESB corpora reduce
      to after their per-corpus split generators
   3. an HF `datasets` saved-to-disk dir with (audio, text)-like columns
      (column names resolved per the ESB builder's conventions)

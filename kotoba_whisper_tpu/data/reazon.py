@@ -1,7 +1,7 @@
 """ReazonSpeech shard reader: local tar archives + TSV transcript join.
 
 Native-pipeline replacement for reazonspeech_manual_dataloader.py:42-97 (an
-HF GeneratorBasedBuilder): iterates FLAC/WAV members out of tar shards,
+HF GeneratorBasedBuilder): iterates FLAC/WAV/MP3 members out of tar shards,
 joins transcriptions from the TSV, and yields
 {"name", "audio_bytes", "transcription"} — audio stays as raw bytes so
 decode (native/audio.cpp) can run in pipeline workers, not at read time.

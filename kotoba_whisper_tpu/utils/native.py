@@ -107,7 +107,7 @@ def levenshtein_batch(
 
 
 def decode_audio(data: bytes, target_rate: int = 16000) -> tuple[np.ndarray, int]:
-    """FLAC/WAV bytes -> (mono fp32 at target_rate, native_rate)."""
+    """FLAC/WAV/MP3 bytes -> (mono fp32 at target_rate, native_rate)."""
     lib = load()
     # generous bound: FLAC worst case ~ size in samples; WAV exact
     max_out = max(len(data) * 4, 16000)

@@ -85,3 +85,79 @@ def test_resample_preserves_tone():
 def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         native.decode_audio(b"not audio at all", 16000)
+
+
+def _lame_encode_mp3(pcm16: np.ndarray, sr: int = 16000, brate: int = 64) -> bytes:
+    """Encode mono int16 PCM to MP3 with the system lame library (test
+    fixture generator — the decoder under test binds system libmpg123)."""
+    import ctypes
+
+    try:
+        lame = ctypes.CDLL("libmp3lame.so.0")
+    except OSError:
+        pytest.skip("libmp3lame not available for fixture generation")
+    lame.lame_init.restype = ctypes.c_void_p
+    gf = ctypes.c_void_p(lame.lame_init())
+    lame.lame_set_in_samplerate(gf, sr)
+    lame.lame_set_num_channels(gf, 1)
+    lame.lame_set_mode(gf, 3)  # MONO
+    lame.lame_set_brate(gf, brate)
+    assert lame.lame_init_params(gf) >= 0
+    out = ctypes.create_string_buffer(len(pcm16) * 4 + (1 << 14))
+    lame.lame_encode_buffer.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+    ]
+    n = lame.lame_encode_buffer(
+        gf, pcm16.ctypes.data_as(ctypes.c_void_p), None, len(pcm16),
+        out, len(out),
+    )
+    assert n > 0
+    flush = ctypes.create_string_buffer(1 << 16)
+    lame.lame_encode_flush.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+    n2 = lame.lame_encode_flush(gf, flush, len(flush))
+    lame.lame_close(gf)
+    return out.raw[:n] + flush.raw[:n2]
+
+
+def test_mp3_decode_tone():
+    """MP3 decode (system libmpg123 via native/audio.cpp): a lame-encoded
+    440 Hz tone decodes to a 440 Hz tone at the right rate/duration
+    (common_voice/ESB are MP3 — run_pseudo_labelling.py:261-263 path)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    mp3 = _lame_encode_mp3(pcm, sr)
+    assert mp3[:1] == b"\xff" or mp3[:3] == b"ID3"
+
+    audio, rate = native.decode_audio(mp3, sr)
+    assert rate == sr
+    # codec delay pads the ends; duration within 0.2 s of the original
+    assert abs(len(audio) / sr - 1.0) < 0.2
+    mid = audio[len(audio) // 4 : len(audio) // 4 + 8192]
+    spec = np.abs(np.fft.rfft(mid * np.hanning(len(mid))))
+    peak = np.argmax(spec) * sr / len(mid)
+    assert abs(peak - 440) < 10
+    assert 0.2 < float(np.sqrt((audio**2).mean())) < 0.5
+
+
+def test_mp3_decode_resampled_44k_stereoish():
+    """44.1 kHz MP3 resamples to 16 kHz through the same entry point."""
+    sr = 44100
+    t = np.arange(sr) / sr
+    pcm = (0.4 * np.sin(2 * np.pi * 1000 * t) * 32767).astype(np.int16)
+    mp3 = _lame_encode_mp3(pcm, sr, brate=128)
+    audio, rate = native.decode_audio(mp3, 16000)
+    assert rate == 44100  # native rate reported
+    assert abs(len(audio) / 16000 - 1.0) < 0.2
+    mid = audio[len(audio) // 4 : len(audio) // 4 + 8192]
+    spec = np.abs(np.fft.rfft(mid * np.hanning(len(mid))))
+    peak = np.argmax(spec) * 16000 / len(mid)
+    assert abs(peak - 1000) < 20
+
+
+def test_mp3_garbage_rejected():
+    with pytest.raises(ValueError):
+        native.decode_audio(b"\xff\xe3" + b"\x00" * 100, 16000)
