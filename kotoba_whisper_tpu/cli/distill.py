@@ -92,11 +92,17 @@ def main(argv=None) -> None:
     n_data = mesh.shape["data"]
     global_batch = arg.per_device_train_batch_size * n_data
 
+    # multi-host: each process loads only its order[process::count] slice
+    # of every shuffled split (the accelerate dataloader-sharding
+    # equivalent); place_batch assembles the global array from the local
+    # shards without cross-host data movement
     loader = ScheduleLoader(
         split_dirs,
         seed=arg.seed,
         global_batch=global_batch,
         num_epochs=arg.num_train_epochs,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
         prefetch=not arg.no_prefetch,
     )
     for s in range(len(split_dirs)):

@@ -143,12 +143,13 @@ def _refill(state: StreamState, pool_tokens, pool_cache,
     idx = jnp.argsort(~free, stable=True)[:e]
 
     def put(dst, src, batch_axis):
-        return jnp.moveaxis(
-            jnp.moveaxis(dst, batch_axis, 0).at[idx].set(
-                jnp.moveaxis(src, batch_axis, 0)
-            ),
-            0, batch_axis,
-        )
+        # direct scatter on the batch axis — NO moveaxis: a transpose of
+        # the (L, W, 1500, D) cross-KV would materialize multi-GB copies
+        # per refill and dominate the whole decode (measured on-chip)
+        if batch_axis == 0:
+            return dst.at[idx].set(src)
+        assert batch_axis == 1
+        return dst.at[:, idx].set(src)
 
     cache = state.cache
     new_cache = whisper.KVCache(

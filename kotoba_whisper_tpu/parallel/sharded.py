@@ -26,10 +26,23 @@ def place_params(mesh: Mesh, params: Any, model_sharded: bool = False) -> Any:
 
 
 def place_batch(mesh: Mesh, batch: Any) -> Any:
-    """Shard batch leaves over the data axis (leading dim)."""
+    """Shard batch leaves over the data axis (leading dim).
+
+    Single-process: a device_put of the host-built global batch.
+    Multi-process (jax.distributed): each host passes its LOCAL shard of
+    the batch (the train/loader.py `order[process::count]` slice — the
+    accelerate dataloader-sharding equivalent) and the global array is
+    assembled from per-process data without any cross-host transfer."""
+    multiproc = jax.process_count() > 1
+
     def put(x):
         spec = P(meshlib.DATA_AXIS, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
 

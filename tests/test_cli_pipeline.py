@@ -276,3 +276,43 @@ def test_pseudo_label_dp_and_streaming_match(dataset_dir, tmp_path):
     stream = run(f"{tmp_path}/stream", ["--streaming"])
     assert base == dp
     assert base == stream
+
+
+@pytest.mark.slow
+def test_pipeline_selective_wer_filter(dataset_dir, tmp_path):
+    """Drive the filter stage through a SELECTIVE outcome: half the pseudo-
+    labels match the ground truth exactly (WER 0, kept), half are garbage
+    (WER >= 100, dropped) — the reference's WER-10 gate
+    (run_data_filtering.py:157-177) must keep exactly the matching half."""
+    import json as _json
+
+    from kotoba_whisper_tpu.cli import data_filter
+    from kotoba_whisper_tpu.tokenizer.whisper_tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer.byte_vocab()
+    rows = []
+    for i in range(6):
+        text = (
+            f"utterance number {i}" if i % 2 == 0 else "completely wrong words"
+        )
+        rows.append({
+            "name": f"000/utt{i}.wav",
+            "transcription": f"utterance number {i}",
+            "whisper_transcript": tok.sot_sequence("ja", "transcribe")
+            + tok.encode(text) + [tok.special.eot],
+        })
+    labels = tmp_path / "labels.jsonl"
+    labels.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    data_filter.main([
+        "--dataset_dir", dataset_dir,
+        "--labels", str(labels),
+        "--output_dir", f"{tmp_path}/filtered",
+        "--tokenizer", "byte",
+        "--wer_threshold", "10",
+        "--skip_logmel",
+    ])
+    kept = [
+        _json.loads(l) for l in open(f"{tmp_path}/filtered/filtered.jsonl")
+    ]
+    assert [r["name"] for r in kept] == [f"000/utt{i}.wav" for i in (0, 2, 4)]
