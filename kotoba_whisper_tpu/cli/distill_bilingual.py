@@ -8,7 +8,10 @@ Dataset spec syntax (repeatable):
   --dataset name:dir:key1+key2:kl     e.g. ja:/work/ja:transcribe.ja+translate.en:kl
   --dataset name:dir:key1:nokl        e.g. en:/work/en:transcribe.en:nokl
 where `dir` holds features.npz + filtered.jsonl with labels/<key> columns
-(cli/data_filter.py --label_column with a comma list).
+(cli/data_filter.py --label_column with a comma list). `dir` may be a
+comma-joined GROUP of such dirs (the recipe's per-step randomized subset
+group — script/distil_whisper_bilingual_v1.0.distillation.sh passes 5 ja
++ 3 en subsets per `distillation` call); rows/features are concatenated.
 """
 from __future__ import annotations
 
@@ -59,8 +62,16 @@ def main(argv=None) -> None:
     for spec_str in arg.dataset:
         name, d, keys, kl = spec_str.split(":")
         keys = tuple(keys.split("+"))
-        rows = common.read_jsonl(f"{d}/filtered.jsonl")
-        feats = np.load(f"{d}/features.npz")["input_features"]
+        rows = []
+        feat_parts = []
+        for part in d.split(","):
+            part_rows = common.read_jsonl(f"{part}/filtered.jsonl")
+            rows.extend(part_rows)
+            feat_parts.append(np.load(f"{part}/features.npz")["input_features"])
+        feats = (
+            feat_parts[0] if len(feat_parts) == 1
+            else np.concatenate(feat_parts, axis=0)
+        )
         assert len(rows) == feats.shape[0], f"{name}: labels/features misaligned"
         specs.append(DatasetSpec(name, keys, use_kl=(kl == "kl")))
         data.append((rows, feats))

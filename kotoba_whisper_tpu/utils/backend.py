@@ -46,8 +46,19 @@ def enable_compilation_cache(
 
 
 def ensure_backend(allow_cpu_fallback: bool = True) -> str:
+    """Returns the platform actually in use. KWT_PLATFORM=cpu (or any
+    platform string) pins the backend explicitly — needed because this
+    environment's TPU plugin force-selects itself at interpreter start, so
+    a plain JAX_PLATFORMS env var is ignored; pipeline stages that should
+    run on host CPU (filtering, smoke runs of recipes) set this."""
     import jax
 
+    pin = os.environ.get("KWT_PLATFORM")
+    if pin:
+        jax.config.update("jax_platforms", pin)
+        n_dev = os.environ.get("KWT_NUM_CPU_DEVICES")
+        if pin == "cpu" and n_dev:
+            jax.config.update("jax_num_cpu_devices", int(n_dev))
     enable_compilation_cache()
     try:
         return jax.devices()[0].platform

@@ -224,8 +224,11 @@ def test_bilingual_pipeline(dataset_dir, tmp_path):
         "--save_dir", f"{out}/student",
         "--decoder_layers", "1",
     ])
+    # the ja spec uses a comma-joined dir GROUP (the recipe's randomized
+    # 5-subset group) — rows/features from each part are concatenated
     distill_bilingual.main([
-        "--dataset", f"ja:{out}/filtered:transcribe.ja+translate.en:kl",
+        "--dataset",
+        f"ja:{out}/filtered,{out}/filtered:transcribe.ja+translate.en:kl",
         "--student", f"{out}/student",
         "--teacher", "preset:test-byte",
         "--output_dir", f"{out}/bilingual",
