@@ -54,6 +54,19 @@ def fuse_unless(params, disabled: bool):
     return fuse_for_inference(params)
 
 
+def quantize_if(params, gemm_dtype: str):
+    """Opt-in w8a8 int8 projections (models/quantized.py): 2x MXU rate on
+    the encoder GEMMs, halved decoder weight streaming. Changes outputs —
+    the operator validates pseudo-label quality (cli/parity_check.py)."""
+    if gemm_dtype == "compute":
+        return params
+    if gemm_dtype != "int8":
+        raise SystemExit(f"unsupported --gemm_dtype {gemm_dtype}")
+    from kotoba_whisper_tpu.models.quantized import quantize_for_inference
+
+    return quantize_for_inference(params)
+
+
 def load_model(spec: str, seed: int = 0):
     """'preset:<name>' (random init) or a checkpoint dir (HF layout)."""
     import jax

@@ -21,6 +21,9 @@ def main(argv=None) -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv_dtype", default="compute",
                     choices=["compute", "int8", "int4"])
+    ap.add_argument("--gemm_dtype", default="compute",
+                    choices=["compute", "int8"],
+                    help="int8: w8a8 dense projections (models/quantized.py)")
     ap.add_argument("--no_fuse", action="store_true",
                     help="skip the lossless inference projection fusion")
     arg = ap.parse_args(argv)
@@ -41,6 +44,7 @@ def main(argv=None) -> None:
     compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
     params = common.fuse_unless(params, arg.no_fuse)
+    params = common.quantize_if(params, arg.gemm_dtype)
     attn = arg.attn or ("pallas" if jax.default_backend() == "tpu" else "xla")
 
     gen_defaults = common.load_generation_defaults(arg.model)

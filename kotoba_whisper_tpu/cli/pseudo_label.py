@@ -53,6 +53,11 @@ def main(argv=None) -> None:
                     help="int8: per-row-quantized KV caches (halves decode "
                     "HBM traffic); int4: per-head-quantized cross-KV "
                     "(halves it again; similar logit perturbation)")
+    ap.add_argument("--gemm_dtype", default="compute",
+                    choices=["compute", "int8"],
+                    help="int8: w8a8 dense projections (2x MXU rate on the "
+                    "encoder, halved decoder weight streaming; changes "
+                    "outputs — validate with parity_check)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--no_fuse", action="store_true",
                     help="skip the lossless inference projection fusion")
@@ -93,6 +98,12 @@ def main(argv=None) -> None:
     compute_dtype = jnp.bfloat16 if arg.dtype == "bfloat16" else jnp.float32
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
     params = common.fuse_unless(params, arg.no_fuse)
+    if arg.gemm_dtype != "compute":
+        assert arg.mesh_model_axis == 1, (
+            "--gemm_dtype int8 is not yet supported with tensor parallelism "
+            "(the TP sharding rules target full-precision kernels)"
+        )
+        params = common.quantize_if(params, arg.gemm_dtype)
     attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     feat = FeatureConfig(n_mels=cfg.num_mel_bins)

@@ -1,0 +1,99 @@
+"""int8 (w8a8) quantized inference for the dense projections.
+
+TPU-native throughput lever with no reference-stack counterpart (the
+reference serves the teacher in bf16, run_pseudo_labelling.py:224-231): the
+v5e MXU executes s8xs8->s32 matmuls at twice the bf16 rate, and the
+encoder's GEMMs already run at ~92% of the calibrated bf16 ceiling
+(docs/DESIGN.md), so halving the MXU time of the projections is the one
+remaining large lever on the encoder pass. On the decode side the win is
+HBM: the per-step weight streaming of the autoregressive decoder halves.
+
+Scheme (per dense projection y = x @ W + b):
+  - weights:  static per-out-channel absmax int8 — W_q[i, o] with
+    fp32 scale s_w[o]; quantized once by `quantize_for_inference`,
+    `dense` consumes the quantized form directly.
+  - activations: dynamic per-row absmax int8 — computed on the VPU at
+    run time (a negligible elementwise pass next to the GEMM savings).
+  - accumulation: s32 on the MXU (preferred_element_type), dequantized as
+    y = (x_q @ W_q) * s_x[row] * s_w[col] + b in fp32, then cast back to
+    the compute dtype.
+
+Like the KV-cache quantization (`kv_dtype=`), this is strictly OPT-IN: it
+changes teacher outputs, so pseudo-label quality must be validated by the
+operator (cli/parity_check.py measures token agreement on real weights).
+LayerNorms, the attention core, the conv stem, embeddings and the logits
+projection stay in the compute dtype — only the seven per-layer dense
+projections (qkv/out/fc1/fc2, cross q/kv) are quantized.
+
+The transform composes with `fuse_for_inference` (models/optimized.py);
+apply fusion first so the fused qkv/kv kernels are quantized as one.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# dense params eligible for quantization (keys inside each layer dict)
+_DENSE_KEYS = (
+    "q_proj", "k_proj", "v_proj", "qkv_proj", "kv_proj", "out_proj",
+    "fc1", "fc2",
+)
+
+
+def quantize_dense_int8(p: dict) -> dict:
+    """{kernel (..., in, out), bias?} -> {kernel_q int8, kernel_scale fp32
+    (..., out), bias?}. Per-out-channel absmax over the contraction axis."""
+    k = p["kernel"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": q, "kernel_scale": scale[..., 0, :]}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def dense_int8(p: dict, x: jax.Array) -> jax.Array:
+    """w8a8 dense: dynamic per-row activation quantization, s32 MXU dot."""
+    x32 = x.astype(jnp.float32)
+    a = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s_x = jnp.maximum(a, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    y = jnp.einsum(
+        "...i,io->...o", xq, p["kernel_q"],
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * s_x * p["kernel_scale"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _quantize_layers(layers: dict) -> dict:
+    out = dict(layers)
+    for name, sub in layers.items():
+        if not isinstance(sub, dict):
+            continue
+        if "kernel" in sub and name in _DENSE_KEYS:
+            out[name] = quantize_dense_int8(sub)
+        elif any(isinstance(v, dict) for v in sub.values()):
+            out[name] = _quantize_layers(sub)
+    return out
+
+
+def quantize_for_inference(
+    params: Any, parts: tuple[str, ...] = ("encoder", "decoder")
+) -> Any:
+    """Quantize the dense projections of the named parts to w8-int8.
+
+    Works on both fused (models/optimized.py) and unfused layouts; the
+    scan-stacked (L, in, out) kernels quantize per (layer, out-channel).
+    """
+    out = dict(params)
+    for part in parts:
+        sub = dict(params[part])
+        sub["layers"] = _quantize_layers(params[part]["layers"])
+        out[part] = sub
+    return out

@@ -141,6 +141,10 @@ def layer_norm(p, x, eps=1e-5):
 
 
 def dense(p, x):
+    if "kernel_q" in p:  # w8a8 int8 projection (models/quantized.py)
+        from kotoba_whisper_tpu.models.quantized import dense_int8
+
+        return dense_int8(p, x)
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in p:

@@ -279,6 +279,11 @@ def test_pseudo_label_dp_and_streaming_match(dataset_dir, tmp_path):
     stream = run(f"{tmp_path}/stream", ["--streaming"])
     assert base == dp
     assert base == stream
+    # w8a8 quantized decode: outputs may legitimately differ from fp32 on a
+    # random model, but the driver path (quantize transform -> generate ->
+    # jsonl) must produce a label for every utterance
+    q = run(f"{tmp_path}/int8", ["--gemm_dtype", "int8"])
+    assert set(q) == set(base)
 
 
 @pytest.mark.slow

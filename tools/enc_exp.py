@@ -281,6 +281,25 @@ VARIANTS = {
 }
 
 
+def _quantized_variant(attn_impl):
+    from kotoba_whisper_tpu.models.quantized import quantize_for_inference
+
+    cache = {}
+
+    def run(p, c, f, dt):
+        if id(p) not in cache:
+            cache[id(p)] = quantize_for_inference(p, parts=("encoder",))
+        return whisper.encode(
+            cache[id(p)], c, f, compute_dtype=dt, attn_impl=attn_impl
+        )
+
+    return run
+
+
+VARIANTS["int8"] = _quantized_variant("xla")
+VARIANTS["int8_pallas"] = _quantized_variant("pallas")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True, choices=sorted(VARIANTS))

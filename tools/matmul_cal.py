@@ -22,28 +22,49 @@ def main():
     ap.add_argument("--d_model", type=int, default=1280)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"],
+                    help="int8: s8xs8->s32 MXU rate (2x bf16 peak on v5e)")
     args = ap.parse_args()
 
     n = args.batch * 1500
     d = args.d_model
     f = 4 * d
     key = jax.random.key(0)
-    x = jax.random.normal(key, (n, d), jnp.bfloat16)
-    w1 = jax.random.normal(key, (d, f), jnp.bfloat16) * 0.02
-    w2 = jax.random.normal(key, (f, d), jnp.bfloat16) * 0.02
+    if args.dtype == "int8":
+        ints = jax.random.randint(key, (n, d), -127, 127, jnp.int8)
+        x = ints
+        w1 = jax.random.randint(key, (d, f), -127, 127, jnp.int8)
+        w2 = jax.random.randint(key, (f, d), -127, 127, jnp.int8)
 
-    @jax.jit
-    def chain(x, w1, w2):
-        def body(x, _):
-            h = jnp.dot(x, w1, preferred_element_type=jnp.float32).astype(
-                jnp.bfloat16
-            )
-            x = jnp.dot(h, w2, preferred_element_type=jnp.float32).astype(
-                jnp.bfloat16
-            )
-            return x, None
-        x, _ = jax.lax.scan(body, x, None, length=args.steps)
-        return x
+        @jax.jit
+        def chain(x, w1, w2):
+            def body(x, _):
+                h = jnp.dot(
+                    x, w1, preferred_element_type=jnp.int32
+                ).astype(jnp.int8)  # wrap-around requant: timing only
+                x = jnp.dot(h, w2, preferred_element_type=jnp.int32).astype(
+                    jnp.int8
+                )
+                return x, None
+            x, _ = jax.lax.scan(body, x, None, length=args.steps)
+            return x
+    else:
+        x = jax.random.normal(key, (n, d), jnp.bfloat16)
+        w1 = jax.random.normal(key, (d, f), jnp.bfloat16) * 0.02
+        w2 = jax.random.normal(key, (f, d), jnp.bfloat16) * 0.02
+
+        @jax.jit
+        def chain(x, w1, w2):
+            def body(x, _):
+                h = jnp.dot(x, w1, preferred_element_type=jnp.float32).astype(
+                    jnp.bfloat16
+                )
+                x = jnp.dot(h, w2, preferred_element_type=jnp.float32).astype(
+                    jnp.bfloat16
+                )
+                return x, None
+            x, _ = jax.lax.scan(body, x, None, length=args.steps)
+            return x
 
     # force a host readback: on this environment's remote plugin,
     # block_until_ready alone has been observed not to fence execution
@@ -60,6 +81,7 @@ def main():
         json.dumps(
             {
                 "shape": f"({n},{d})x({d},{f}) chain x{args.steps}",
+                "dtype": args.dtype,
                 "ms": round(dt * 1e3, 2),
                 "tflops": round(flops / dt / 1e12, 1),
             }
