@@ -9,18 +9,28 @@ decode window full instead: every row holds its own utterance at its own
 position, and when rows finish they are refilled with freshly-encoded
 utterances while the rest keep stepping.
 
-TPU-first design — everything stays static-shape jit programs:
-- the decode window is a fixed (W,)-row state whose KV cache carries a
-  PER-ROW length vector (models/whisper.py row_lengths decode path:
-  per-row position gathers, per-row scatter KV writes, per-row valid
-  masks in ops/decode_attention.py);
-- `steps` runs K decode steps per dispatch (one host sync per round, not
-  per token);
-- `refill` is one jitted scatter of a freshly prefilled E-row pool batch
-  into the free rows (free rows are found with an argsort on the finished
-  mask — no host-side row bookkeeping on the hot path);
+TPU-first design — everything stays static-shape jit programs, and the
+per-step work is IDENTICAL in structure to the lockstep loop:
+
+- the self-KV cache is a SHARED-SLOT RING: every step, all rows write
+  their new K/V at the same ring slot (one dynamic_update_slice, exactly
+  like lockstep decode), and each row's self-attention selects its own
+  last `count` ring slots via a cyclic-age mask
+  ((ring - slot) mod capacity < count). Whisper carries position only in
+  the learned embedding and attention is permutation-invariant under the
+  mask, so the scrambled physical slot order is exact. This replaces the
+  round-1 per-row scatter layout, whose per-step scatters at per-row
+  positions dominated the step cost (tools/stream_exp.py attribution);
+- a refilled row REPLAYS its prompt through the shared step loop (its
+  fed token is the stored prompt token until `count` reaches the prompt
+  length; sampled tokens take over after). Replay costs ~|prompt| extra
+  steps per utterance but removes the separate prefill program AND the
+  per-refill self-KV scatter entirely — refill only scatters the
+  cross-KV rows and resets per-row metadata;
+- `_steps` runs K decode steps per dispatch (one host sync per round,
+  not per token);
 - the host loop only: harvests finished rows, feeds the next E raw mel
-  windows to the jitted encode+prefill, and triggers refills.
+  windows to the jitted encode+cross-init, and triggers refills.
 
 Greedy rows are independent (no cross-row interaction anywhere in the
 model, the rules, or the argmax), so streaming output is token-identical
@@ -45,7 +55,7 @@ from kotoba_whisper_tpu.models import whisper
 @dataclass(frozen=True)
 class StreamConfig:
     batch: int = 48            # decode window rows (W)
-    encode_batch: int = 16     # utterances encoded+prefilled per refill (E)
+    encode_batch: int = 16     # utterances encoded per refill (E)
     steps_per_round: int = 8   # decode steps per host sync
 
 
@@ -55,7 +65,8 @@ class StreamState(NamedTuple):
     active: jax.Array     # (W,) bool — holds an unharvested utterance
     stop: jax.Array       # (W,) int32 — max total tokens for the row
     utt_id: jax.Array     # (W,) int32 — stream index occupying the row
-    cache: whisper.KVCache  # length is the (W,) per-row vector
+    ring: jax.Array       # () int32 — next shared self-KV write slot
+    cache: whisper.KVCache  # length is the (W,) per-row token count
 
 
 def _prompt_tokens(opts: GenerateOptions, pad: int, rows: int) -> jnp.ndarray:
@@ -75,9 +86,9 @@ def _empty_state(
     params, cfg: WhisperConfig, opts: GenerateOptions, *,
     rows: int, compute_dtype, attn_impl, kv_dtype,
 ) -> StreamState:
-    """All-free window: every row finished+inactive, cache zero-filled
-    (built through init_cache on a zero encoder output so the quantized
-    cache layout matches exactly)."""
+    """All-free window: every row finished+inactive, count 0, cache
+    zero-filled (built through init_cache on a zero encoder output so the
+    quantized cache layout matches exactly)."""
     enc = jnp.zeros(
         (rows, cfg.max_source_positions, cfg.d_model), compute_dtype
     )
@@ -85,16 +96,14 @@ def _empty_state(
         params, cfg, enc, capacity=opts.max_length,
         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
-    p = len(opts.prompt_ids)
-    cache = cache._replace(
-        length=jnp.full((rows,), max(p - 1, 0), jnp.int32)
-    )
+    cache = cache._replace(length=jnp.zeros((rows,), jnp.int32))
     return StreamState(
         tokens=_prompt_tokens(opts, cfg.pad_token_id, rows),
         finished=jnp.ones((rows,), bool),
         active=jnp.zeros((rows,), bool),
         stop=jnp.full((rows,), opts.max_length, jnp.int32),
         utt_id=jnp.full((rows,), -1, jnp.int32),
+        ring=jnp.zeros((), jnp.int32),
         cache=cache,
     )
 
@@ -103,70 +112,59 @@ def _empty_state(
     jax.jit,
     static_argnames=("cfg", "opts", "compute_dtype", "attn_impl", "kv_dtype"),
 )
-def _prep_pool(
+def _encode_pool(
     params, cfg: WhisperConfig, mel: jax.Array, opts: GenerateOptions, *,
     compute_dtype, attn_impl, kv_dtype,
 ):
-    """Encode + prompt-prefill a pool batch: (E, n_mels, 3000) ->
-    (tokens (E, max_len), cache with per-row length p-1)."""
-    e = mel.shape[0]
-    p = len(opts.prompt_ids)
+    """Encode a pool batch and build its cross-KV: (E, n_mels, 3000) ->
+    KVCache whose cross tensors are consumed by _refill. The self tensors
+    are never read (refilled rows replay their prompt through the ring),
+    so the pool cache is built with self-capacity 1 — no dead zero-fill
+    of (L, E, max_len, D) buffers per refill."""
     enc = whisper.encode(
         params, cfg, mel.astype(compute_dtype),
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
-    cache = whisper.init_cache(
-        params, cfg, enc, capacity=opts.max_length,
+    return whisper.init_cache(
+        params, cfg, enc, capacity=1,
         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
-    tokens = _prompt_tokens(opts, cfg.pad_token_id, e)
-    if p > 1:
-        _, cache = whisper.decode(
-            params, cfg, tokens[:, : p - 1], cache=cache,
-            compute_dtype=compute_dtype, attn_impl=attn_impl,
-        )
-    cache = cache._replace(length=jnp.full((e,), p - 1, jnp.int32))
-    return tokens, cache
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _refill(state: StreamState, pool_tokens, pool_cache,
             pool_stop, pool_utt, pool_valid) -> StreamState:
-    """Scatter an E-row pool batch into the window's free rows. The caller
+    """Scatter an E-row pool batch's CROSS-KV into the window's free rows
+    and reset their metadata (count 0 => prompt replay starts). The caller
     guarantees >= E rows are free (finished or inactive). The window state
     is DONATED: the multi-GB KV cache is updated in place — without
     donation the scatter doubles the window's HBM footprint and OOMs a
-    v5e at production window sizes."""
-    e = pool_tokens.shape[0]
+    v5e at production window sizes. Self-KV rows are left stale: the ring
+    age mask hides them (count resets to 0)."""
+    e = pool_stop.shape[0]
     free = state.finished | ~state.active
     # free rows first, stable; take E targets
     idx = jnp.argsort(~free, stable=True)[:e]
 
-    def put(dst, src, batch_axis):
-        # direct scatter on the batch axis — NO moveaxis: a transpose of
-        # the (L, W, 1500, D) cross-KV would materialize multi-GB copies
-        # per refill and dominate the whole decode (measured on-chip)
-        if batch_axis == 0:
-            return dst.at[idx].set(src)
-        assert batch_axis == 1
+    def put(dst, src):
+        # direct scatter on the batch axis (axis 1 of (L, W, T, D)) — NO
+        # moveaxis: a transpose of the cross-KV would materialize multi-GB
+        # copies per refill and dominate the decode (measured on-chip)
         return dst.at[:, idx].set(src)
 
     cache = state.cache
-    new_cache = whisper.KVCache(
-        put(cache.self_k, pool_cache.self_k, 1),
-        put(cache.self_v, pool_cache.self_v, 1),
-        put(cache.cross_k, pool_cache.cross_k, 1),
-        put(cache.cross_v, pool_cache.cross_v, 1),
-        put(cache.length, pool_cache.length, 0),
-        *[
-            None if a is None else put(a, b, 1)
-            for a, b in (
-                (cache.self_k_scale, pool_cache.self_k_scale),
-                (cache.self_v_scale, pool_cache.self_v_scale),
-                (cache.cross_k_scale, pool_cache.cross_k_scale),
-                (cache.cross_v_scale, pool_cache.cross_v_scale),
-            )
-        ],
+    new_cache = cache._replace(
+        cross_k=put(cache.cross_k, pool_cache.cross_k),
+        cross_v=put(cache.cross_v, pool_cache.cross_v),
+        length=cache.length.at[idx].set(0),
+        cross_k_scale=(
+            None if cache.cross_k_scale is None
+            else put(cache.cross_k_scale, pool_cache.cross_k_scale)
+        ),
+        cross_v_scale=(
+            None if cache.cross_v_scale is None
+            else put(cache.cross_v_scale, pool_cache.cross_v_scale)
+        ),
     )
     return StreamState(
         tokens=state.tokens.at[idx].set(pool_tokens),
@@ -174,6 +172,7 @@ def _refill(state: StreamState, pool_tokens, pool_cache,
         active=state.active.at[idx].set(pool_valid),
         stop=state.stop.at[idx].set(pool_stop),
         utt_id=state.utt_id.at[idx].set(pool_utt),
+        ring=state.ring,
         cache=new_cache,
     )
 
@@ -191,11 +190,17 @@ def _steps(
     special: SpecialTokens, *, n_steps: int,
     compute_dtype, attn_impl, kv_dtype,
 ) -> StreamState:
-    """Run up to n_steps per-row decode steps (early exit when all rows
-    are finished)."""
+    """Run up to n_steps shared-ring decode steps (early exit when all
+    rows are finished). Each step: feed every row its token at index
+    `count` (prompt token during replay, last sampled otherwise), write
+    K/V at the shared ring slot, take the rule-masked argmax, and keep
+    the existing token instead wherever the row is still replaying its
+    prompt or already finished."""
     rc = opts.rule_config(special)
     pad = cfg.pad_token_id
     eot = special.eot
+    p = len(opts.prompt_ids)
+    cap = opts.max_length
     w = state.tokens.shape[0]
     rows = jnp.arange(w)
 
@@ -206,32 +211,36 @@ def _steps(
     def body(carry):
         i, st = carry
         was_finished = st.finished
-        # feed the token at slot cache.length (the last valid token)
-        last = st.tokens[rows, st.cache.length][:, None]
+        # feed the token at index `count` (the next unprocessed token);
+        # frozen finished rows can sit at count == cap — clamp the gather
+        last = st.tokens[rows, jnp.minimum(st.cache.length, cap - 1)][:, None]
         logits, cache = whisper.decode(
-            params, cfg, last, cache=st.cache,
+            params, cfg, last, cache=st.cache, ring_pos=st.ring,
             compute_dtype=compute_dtype, attn_impl=attn_impl,
         )
-        count = cache.length  # per-row valid-token count after this step
+        count = cache.length  # per-row token count after this step
         masked = apply_rules(
             logits[:, 0].astype(jnp.float32), st.tokens, count, rc
         )
         nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(was_finished, pad, nxt)
-        # write the sampled token at slot `count` (per-row scatter);
-        # finished rows rewrite their existing value
-        cur = st.tokens[rows, count]
-        tokens = st.tokens.at[rows, count].set(
-            jnp.where(was_finished, cur, nxt)
+        # replay: while the predicted index still lies inside the prompt,
+        # the "prediction" is the stored prompt token
+        in_replay = count < p
+        cur = st.tokens[rows, jnp.minimum(count, cap - 1)]
+        keep = was_finished | in_replay
+        eff = jnp.where(keep, cur, nxt)
+        tokens = st.tokens.at[rows, jnp.minimum(count, cap - 1)].set(eff)
+        finished = was_finished | (
+            ~in_replay & ((eff == eot) | (count + 1 >= st.stop))
         )
-        finished = was_finished | (nxt == eot) | (count + 1 >= st.stop)
-        # freeze finished rows' cache position (their step re-wrote the
-        # same slot with the same key/value, so state stays exact)
+        # freeze finished rows' count (their step re-wrote only the shared
+        # ring slot, which the age mask will hide once they are refilled)
         cache = cache._replace(
-            length=jnp.where(was_finished, st.cache.length, cache.length)
+            length=jnp.where(was_finished, st.cache.length, count)
         )
         return i + 1, StreamState(
-            tokens, finished, st.active, st.stop, st.utt_id, cache
+            tokens, finished, st.active, st.stop, st.utt_id,
+            jnp.mod(st.ring + 1, cap), cache,
         )
 
     _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
@@ -272,6 +281,9 @@ def generate_greedy_streaming(
 
     results: dict[int, np.ndarray] = {}
     next_utt = 0
+    pool_tokens = jnp.asarray(
+        np.asarray(_prompt_tokens(opts, cfg.pad_token_id, e))
+    )
 
     def refill_once(state):
         nonlocal next_utt
@@ -286,9 +298,7 @@ def generate_greedy_streaming(
         utts = np.full((e,), -1, np.int64)
         utts[: hi - lo] = np.arange(lo, hi)
         next_utt = hi
-        pool_tokens, pool_cache = _prep_pool(
-            params, cfg, jnp.asarray(batch), opts, **kw
-        )
+        pool_cache = _encode_pool(params, cfg, jnp.asarray(batch), opts, **kw)
         return _refill(
             state, pool_tokens, pool_cache,
             jnp.asarray(stops, jnp.int32), jnp.asarray(utts, jnp.int32),

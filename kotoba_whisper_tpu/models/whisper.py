@@ -394,6 +394,7 @@ def decode(
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
     remat: bool = False,
+    ring_pos: jax.Array | None = None,
 ):
     """Decoder forward.
 
@@ -408,7 +409,17 @@ def decode(
     position) or a (B,) vector (continuous-batching decode, where refilled
     rows sit at different positions; decode/streaming.py). The vector form
     supports single-token steps only (t == 1): positions are per-row
-    gathers and KV writes are per-row scatters.
+    gathers, and KV writes are either per-row scatters (ring_pos=None) or,
+    with `ring_pos` given, one dynamic_update_slice at the SHARED ring
+    slot: all rows write slot ring_pos regardless of their own sequence
+    position, and self-attention selects each row's last `count` ring
+    slots via a cyclic-age mask ((ring_pos - slot) mod capacity < count).
+    Attention is permutation-invariant given the mask and Whisper carries
+    position only in the learned embedding, so the scrambled slot order is
+    exact — while the write stays the same cheap lockstep-style slice
+    update instead of a per-row scatter (measured on-chip via
+    tools/stream_exp.py). Rows must not live longer than `capacity` steps
+    (guaranteed: max_length == capacity total tokens per row).
     """
     dec = params["decoder"]
     n_heads = cfg.decoder_attention_heads
@@ -417,6 +428,8 @@ def decode(
         cache is not None and getattr(cache.length, "ndim", 0) == 1
     )
     assert not (row_lengths and t != 1), "per-row lengths need t == 1"
+    ring = ring_pos is not None
+    assert not (ring and not row_lengths), "ring_pos needs per-row lengths"
 
     x = dec["embed_tokens"]["embedding"].astype(compute_dtype)[input_ids]
     if row_lengths:
@@ -482,16 +495,17 @@ def decode(
     int8_kv = cache.is_quantized
     per_head = cache.per_head_scales
 
-    def flat_or_ref(q_flat, k_flat, v_flat, valid, k_scale=None, v_scale=None):
+    def flat_or_ref(q_flat, k_flat, v_flat, valid, k_scale=None, v_scale=None,
+                    ring_slot=None):
         """Single-query attention over a flat KV block."""
         b_, _, d_ = q_flat.shape
         q3 = q_flat.reshape(b_, n_heads, d_ // n_heads)
-        if use_flat_kernel and k_scale is None:
+        if use_flat_kernel and k_scale is None and ring_slot is None:
             o = decode_attention_flat(q3, k_flat, v_flat, valid, n_heads=n_heads)
         else:
             o = decode_attention_reference(
                 q3, k_flat, v_flat, valid, n_heads=n_heads,
-                k_scale=k_scale, v_scale=v_scale,
+                k_scale=k_scale, v_scale=v_scale, ring_pos=ring_slot,
             )
         return o.reshape(b_, 1, d_)
 
@@ -511,9 +525,14 @@ def decode(
 
     def cache_write(buf, new, start):
         """Write (B, t, *) `new` at time offset(s) `start` into (B, cap, *):
-        one dynamic_update_slice when the batch is lockstep (scalar start),
-        a per-row scatter when rows sit at different positions."""
+        one dynamic_update_slice when the batch is lockstep (scalar start)
+        or in ring mode (shared ring slot), a per-row scatter when rows sit
+        at different physical positions (legacy streaming layout)."""
         new = new.astype(buf.dtype)
+        if ring:
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, new, ring_pos, axis=1
+            )
         if row_lengths:
             return buf.at[jnp.arange(b), start].set(new[:, 0])
         return jax.lax.dynamic_update_slice_in_dim(buf, new, start, axis=1)
@@ -541,6 +560,7 @@ def decode(
                 q_flat, self_k, self_v, cache.length + 1,
                 k_scale=sk_s if int8_kv else None,
                 v_scale=sv_s if int8_kv else None,
+                ring_slot=ring_pos if ring else None,
             )
         else:
             sk = dequant(self_k, sk_s) if int8_kv else self_k

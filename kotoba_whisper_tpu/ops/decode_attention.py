@@ -58,7 +58,7 @@ def _qd(q: jax.Array, n_heads: int) -> jax.Array:
 
 def decode_attention_reference(
     q, k_flat, v_flat, valid_len, *, n_heads,
-    k_scale=None, v_scale=None,
+    k_scale=None, v_scale=None, ring_pos=None,
 ):
     """(B,H,hd) x (B,T,dh) -> (B,H,hd); everything on the flat layout.
 
@@ -71,7 +71,12 @@ def decode_attention_reference(
     w[b,t,h] back onto exactly that block of v.
 
     valid_len: scalar (lockstep batch) or (B,) per-row counts (continuous-
-    batching decode, where refilled rows sit at different positions)."""
+    batching decode, where refilled rows sit at different positions).
+
+    ring_pos: with the shared-slot ring cache (models/whisper.py decode
+    ring mode) each row's valid keys are the `valid_len` ring slots most
+    recently written, ending at slot ring_pos — mask by cyclic age
+    ((ring_pos - slot) mod T < valid) instead of position."""
     b, t, dh = k_flat.shape
     hd = dh // n_heads
     e = jnp.asarray(_expand_matrix(n_heads, hd))
@@ -87,7 +92,12 @@ def decode_attention_reference(
     valid = jnp.asarray(valid_len)
     if valid.ndim == 1:
         valid = valid[:, None, None]                # (B, 1, 1) per-row
-    mask = jnp.arange(t)[None, :, None] < valid
+    pos = jnp.arange(t)[None, :, None]
+    if ring_pos is not None:
+        age = jnp.mod(ring_pos - pos, t)            # 0 = just written
+        mask = age < valid
+    else:
+        mask = pos < valid
     scores = jnp.where(mask, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=1)              # softmax over T
     if v_scale is not None:

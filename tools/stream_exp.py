@@ -86,15 +86,16 @@ def main():
     state = sync(streaming._empty_state(params, cfg, opts, rows=w, **kw))
     out["empty_state_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
 
-    # --- phase: pool prep (encode + cross init + prefill) -------------------
-    tokens_pool, cache_pool = streaming._prep_pool(params, cfg, mel, opts, **kw)
+    # --- phase: pool prep (encode + cross-KV init) ---------------------------
+    tokens_pool = jnp.asarray(
+        np.asarray(streaming._prompt_tokens(opts, cfg.pad_token_id, e))
+    )
+    cache_pool = streaming._encode_pool(params, cfg, mel, opts, **kw)
     sync(cache_pool.cross_k)  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        tokens_pool, cache_pool = streaming._prep_pool(
-            params, cfg, mel, opts, **kw
-        )
+        cache_pool = streaming._encode_pool(params, cfg, mel, opts, **kw)
         sync(cache_pool.cross_k)
         times.append(time.perf_counter() - t0)
     out["prep_pool_ms"] = round(float(np.min(times)) * 1e3, 1)
@@ -119,9 +120,7 @@ def main():
         got = int(np.sum(np.asarray(state.active)))
         if got >= w:
             break
-        tokens_pool, cache_pool = streaming._prep_pool(
-            params, cfg, mel, opts, **kw
-        )
+        cache_pool = streaming._encode_pool(params, cfg, mel, opts, **kw)
         state = streaming._refill(
             state, tokens_pool, cache_pool,
             jnp.full((e,), 176, jnp.int32), utts, valid,
