@@ -99,19 +99,25 @@ def run_stream_real(smoke: bool = False) -> dict:
         dtype = jnp.float32
     else:
         cfg, st, feat, params = _large_v3_setup()
-        n, window, ebatch, kv, max_len = 192, 48, 16, "int8", 176
+        window = int(os.environ.get("KWT_BENCH_WINDOW", 48))
+        ebatch = int(os.environ.get("KWT_BENCH_EBATCH", 16))
+        n, kv, max_len = 192, "int8", 176
         dtype = jnp.bfloat16
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((n, feat.n_samples)).astype(np.float32) * 0.1
-    # mel on device in refill-sized batches (part of the pipeline cost)
-    mels = np.concatenate([
-        np.asarray(
-            log_mel_spectrogram(jnp.asarray(audio[i : i + ebatch]), feat),
-            np.float32,
-        )
-        for i in range(0, n, ebatch)
-    ])
+
+    def mel_all(a):
+        # mel on device in refill-sized batches (part of the pipeline
+        # cost, INSIDE the timed window)
+        return np.concatenate([
+            np.asarray(
+                log_mel_spectrogram(jnp.asarray(a[i : i + ebatch]), feat),
+                np.float32,
+            )
+            for i in range(0, a.shape[0], ebatch)
+        ])
+
     prompt = transcribe_prompt(st, st.lang_begin + 6)  # <|ja|> transcribe
     opts = GenerateOptions(prompt_ids=prompt, max_length=max_len)
     stops = _realistic_stops(n, len(prompt), rng)
@@ -121,10 +127,10 @@ def run_stream_real(smoke: bool = False) -> dict:
 
     # warmup/compile on a prefix of the stream
     generate_greedy_streaming(
-        params, cfg, mels[: 2 * window], opts, st, **kw
+        params, cfg, mel_all(audio[: 2 * window]), opts, st, **kw
     )
     t0 = time.perf_counter()
-    out = generate_greedy_streaming(params, cfg, mels, opts, st, **kw)
+    out = generate_greedy_streaming(params, cfg, mel_all(audio), opts, st, **kw)
     dt = time.perf_counter() - t0
     assert out.shape[0] == n
     return {

@@ -38,3 +38,41 @@ class CascadedS2TPipeline:
 
     def transcribe(self, audio: np.ndarray) -> str:
         return self(audio)["text"]
+
+
+def make_nllb_translate_fn(
+    checkpoint_dir: str,
+    src_lang: str = "jpn_Jpan",
+    tgt_lang: str = "eng_Latn",
+    *,
+    max_length: int = 128,
+    compute_dtype=None,
+):
+    """Real MT translator from an NLLB/M2M100 HF checkpoint dir
+    (config.json + model.safetensors + tokenizer.json) — the model the
+    reference binds through HF (ja_cascaded_s2t_translation.py:45-48),
+    loaded into the native stack (models/text_seq2seq.py greedy decode +
+    tokenizer/unigram.py)."""
+    import jax.numpy as jnp
+
+    from kotoba_whisper_tpu.models import text_seq2seq as ts
+    from kotoba_whisper_tpu.tokenizer.unigram import NllbTokenizer
+
+    params, cfg = ts.load_hf_checkpoint(checkpoint_dir)
+    tok = NllbTokenizer.from_pretrained_dir(checkpoint_dir)
+    dtype = compute_dtype or jnp.float32
+
+    def translate(text: str) -> str:
+        ids = tok.encode(text, src_lang)
+        # bucket the source length so repeated calls reuse compilations
+        width = max(16, (len(ids) + 15) // 16 * 16)
+        src = np.full((1, width), cfg.pad_token_id, np.int32)
+        src[0, : len(ids)] = ids
+        out = ts.generate_greedy_text(
+            params, cfg, jnp.asarray(src),
+            forced_bos=tok.lang_id(tgt_lang),
+            max_length=max_length, compute_dtype=dtype,
+        )
+        return tok.decode(np.asarray(out)[0])
+
+    return translate

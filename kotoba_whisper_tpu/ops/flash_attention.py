@@ -389,7 +389,10 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, interpret):
     scale = 1.0 / (d**0.5)
     single = not causal and tk <= SINGLE_STEP_MAX_K
     if single:
-        block_q = min(512, _round_up(tq, 128))
+        # default 512 chosen by on-chip sweep (docs/DESIGN.md); KWT_FA_BQ
+        # overrides for experiments (tools/enc_exp.py)
+        bq_max = int(os.environ.get("KWT_FA_BQ", "512"))
+        block_q = min(bq_max, _round_up(tq, 128))
         block_k = _round_up(tk, 128)  # whole key range, one step
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
