@@ -34,6 +34,13 @@ def main(argv=None) -> None:
                     help="apply timestamp repair to pipeline chunks")
     ap.add_argument("--no_fuse", action="store_true",
                     help="skip the lossless inference projection fusion")
+    ap.add_argument("--cascaded_mt", default=None,
+                    help="NLLB/M2M100 checkpoint dir: evaluate the cascaded "
+                    "ASR->MT translation pipeline (the reference's "
+                    "ja_cascaded_s2t_translation branch, "
+                    "run_short_form_eval.py:156-170)")
+    ap.add_argument("--mt_src_lang", default="jpn_Jpan")
+    ap.add_argument("--mt_tgt_lang", default="eng_Latn")
     arg = ap.parse_args(argv)
 
     import jax
@@ -93,13 +100,32 @@ def main(argv=None) -> None:
                 chunks = punct.punctuate(chunks)
             return "".join(c["text"] for c in chunks) if chunks else out["text"]
 
+    task = arg.task
+    if arg.cascaded_mt:
+        from kotoba_whisper_tpu.eval.cascaded_s2t import (
+            CascadedS2TPipeline,
+            make_nllb_translate_fn,
+        )
+
+        cascade = CascadedS2TPipeline(
+            asr=pipe,
+            translate_fn=make_nllb_translate_fn(
+                arg.cascaded_mt,
+                src_lang=arg.mt_src_lang, tgt_lang=arg.mt_tgt_lang,
+            ),
+            source_lang=arg.mt_src_lang.split("_")[0],
+            target_lang=arg.mt_tgt_lang.split("_")[0],
+        )
+        transcribe = cascade.transcribe
+        task = "translate"  # metric.{lang}.translate.jsonl schema
+
     record = evaluate_short_form(
         examples,
         transcribe,
         model_name=arg.model,
         dataset_name=arg.dataset_name or arg.dataset_dir,
         language=arg.language,
-        task=arg.task,
+        task=task,
         output_dir=arg.output_dir,
         punctuator=arg.punctuator,
         stable_ts=arg.stable_ts,

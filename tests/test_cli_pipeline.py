@@ -324,3 +324,64 @@ def test_pipeline_selective_wer_filter(dataset_dir, tmp_path):
         _json.loads(l) for l in open(f"{tmp_path}/filtered/filtered.jsonl")
     ]
     assert [r["name"] for r in kept] == [f"000/utt{i}.wav" for i in (0, 2, 4)]
+
+
+@pytest.mark.slow
+def test_cascaded_mt_eval(dataset_dir, tmp_path):
+    """eval_short_form --cascaded_mt: the ASR->MT translation pipeline runs
+    end-to-end from an NLLB-format checkpoint dir and appends to the
+    metric.{lang}.translate.jsonl schema (run_short_form_eval.py:156-170,
+    227-235)."""
+    import json as _json
+
+    torch = pytest.importorskip("torch")
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import AddedToken, Tokenizer, models, normalizers
+    from tokenizers import pre_tokenizers
+    from transformers import M2M100Config, M2M100ForConditionalGeneration
+
+    from kotoba_whisper_tpu.cli import eval_short_form
+
+    ckpt = tmp_path / "nllb"
+    hf_cfg = M2M100Config(
+        vocab_size=64, d_model=16, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=32, decoder_ffn_dim=32, max_position_embeddings=64,
+        pad_token_id=1, eos_token_id=2, bos_token_id=0,
+        decoder_start_token_id=2, scale_embedding=True, dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+        activation_function="relu",
+    )
+    torch.manual_seed(0)
+    M2M100ForConditionalGeneration(hf_cfg).save_pretrained(
+        str(ckpt), safe_serialization=True
+    )
+    vocab = [("<unk>", 0.0), ("</s>", 0.0)] + [
+        (p, -3.0 - 0.01 * i)
+        for i, p in enumerate(["▁", "▁u", "t", "te", "r", "an", "ce", "n", "um", "b", "e"])
+    ]
+    tok = Tokenizer(models.Unigram(vocab, unk_id=0))
+    tok.normalizer = normalizers.NFKC()
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="always"
+    )
+    tok.add_special_tokens(
+        [AddedToken("jpn_Jpan", special=True), AddedToken("eng_Latn", special=True)]
+    )
+    tok.save(str(ckpt / "tokenizer.json"))
+
+    out = tmp_path / "eval_mt"
+    eval_short_form.main([
+        "--model", "preset:test-byte",
+        "--tokenizer", "byte",
+        "--dataset_dir", dataset_dir,
+        "--dataset_name", "synthetic_mt",
+        "--output_dir", str(out),
+        "--dtype", "float32",
+        "--limit", "2",
+        "--cascaded_mt", str(ckpt),
+    ])
+    rec = _json.loads(
+        open(out / "metric.ja.translate.jsonl").read().splitlines()[-1]
+    )
+    assert {"cer_raw", "wer_raw", "cer_norm", "wer_norm"} <= set(rec)

@@ -115,3 +115,31 @@ def test_quantized_greedy_decode_runs(kv_dtype):
     # on a clear majority of positions
     agree = float(np.mean(got == base))
     assert agree > 0.5, f"token agreement {agree} vs fp32"
+
+
+def test_quantized_streaming_matches_quantized_lockstep():
+    """w8a8 params compose with the ring continuous-batching decode: the
+    streaming output must be token-identical to the quantized lockstep
+    greedy (both run the same quantized projections)."""
+    from kotoba_whisper_tpu.decode.streaming import (
+        StreamConfig,
+        generate_greedy_streaming,
+    )
+
+    params = fuse_for_inference(whisper.init_params(jax.random.key(4), CFG))
+    qparams = quantize_for_inference(params)
+    rng = np.random.default_rng(5)
+    mel = np.asarray(
+        rng.standard_normal(
+            (5, CFG.num_mel_bins, CFG.max_source_positions * 2)
+        ).astype(np.float32)
+        * 0.1
+    )
+    prompt = (ST.sot, ST.lang_begin + 6, ST.transcribe)
+    opts = GenerateOptions(prompt_ids=prompt, max_length=12)
+    base = np.asarray(generate_greedy(qparams, CFG, jnp.asarray(mel), opts, ST))
+    got = generate_greedy_streaming(
+        qparams, CFG, mel, opts, ST,
+        stream=StreamConfig(batch=3, encode_batch=2, steps_per_round=4),
+    )
+    np.testing.assert_array_equal(got, base)

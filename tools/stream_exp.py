@@ -80,6 +80,7 @@ def main():
         dt = time.perf_counter() - t0
         out["lockstep_e2e_ms"] = round(dt * 1e3, 1)
         print(json.dumps(out))
+        return  # exclusive: lockstep buffers + stream window OOM together
 
     # --- phase: empty state ------------------------------------------------
     t0 = time.perf_counter()
