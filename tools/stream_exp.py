@@ -126,6 +126,7 @@ def main():
             state, tokens_pool, cache_pool,
             jnp.full((e,), 176, jnp.int32), utts, valid,
         )
+    cache_pool = None  # free the pool cross-KV before the step compile
     sync(state.tokens)
     step_kw = dict(n_steps=args.steps, **kw)
     state = streaming._steps(params, cfg, state, opts, st, **step_kw)

@@ -41,10 +41,14 @@ def _kernel(x_ref, o_ref, *, iters: int, op: str):
     def body(i, acc):
         s = x + acc * 1e-9  # serialize iterations (defeat CSE)
         if op == "softmax":
+            # EXACTLY the single-step kernel's per-score pipeline
+            # (ops/flash_attention._fwd_kernel_single): bias-add is the
+            # serializing add above, then max, subtract, exp, sum; the
+            # normalizing division happens on the (rows, 1) reduce only.
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
-            return acc + jnp.sum(p / l, axis=-1, keepdims=True)
+            return acc + jnp.sum(p, axis=-1, keepdims=True) / l
         return acc + jnp.sum(jnp.exp(s), axis=-1, keepdims=True)
 
     acc = jax.lax.fori_loop(
