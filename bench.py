@@ -132,7 +132,12 @@ def run_stream_real(smoke: bool = False) -> dict:
     stops = _realistic_stops(n, len(prompt), rng)
 
     scfg = StreamConfig(batch=window, encode_batch=ebatch, steps_per_round=8)
-    kw = dict(compute_dtype=dtype, kv_dtype=kv, stream=scfg, stop_at=stops)
+    # Pallas single-step attention for the refill encoder (1.31x the XLA
+    # attention on the encoder pass, docs/DESIGN.md) — the stream is
+    # encode-bound at realistic label lengths
+    attn = "pallas" if not smoke else "xla"
+    kw = dict(compute_dtype=dtype, kv_dtype=kv, stream=scfg, stop_at=stops,
+              attn_impl=attn)
 
     # warmup/compile on a prefix of the stream
     generate_greedy_streaming(

@@ -110,37 +110,40 @@ def _empty_state(
 
 @partial(
     jax.jit,
+    donate_argnums=(2,),
     static_argnames=("cfg", "opts", "compute_dtype", "attn_impl", "kv_dtype"),
 )
-def _encode_pool(
-    params, cfg: WhisperConfig, mel: jax.Array, opts: GenerateOptions, *,
-    compute_dtype, attn_impl, kv_dtype,
-):
-    """Encode a pool batch and build its cross-KV: (E, n_mels, 3000) ->
-    KVCache whose cross tensors are consumed by _refill. The self tensors
-    are never read (refilled rows replay their prompt through the ring),
-    so the pool cache is built with self-capacity 1 — no dead zero-fill
-    of (L, E, max_len, D) buffers per refill."""
+def _encode_refill(
+    params, cfg: WhisperConfig, state: StreamState, mel: jax.Array,
+    pool_tokens, pool_stop, pool_utt, pool_valid, *,
+    opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
+) -> StreamState:
+    """Encode an E-row pool batch and scatter it into the window's free
+    rows as ONE program: the pool's cross-KV lives only as an in-program
+    temporary (a persistent pool buffer between two dispatches cost ~2 GB
+    of HBM and boxed the feasible encode batch at E=16 on a v5e), and the
+    window state is donated so the scatter updates it in place. The pool
+    cache is built with self-capacity 1 — refilled rows replay their
+    prompt through the shared ring, so pool self-KV is never read."""
     enc = whisper.encode(
         params, cfg, mel.astype(compute_dtype),
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
-    return whisper.init_cache(
+    pool_cache = whisper.init_cache(
         params, cfg, enc, capacity=1,
         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
+    return _refill(state, pool_tokens, pool_cache,
+                   pool_stop, pool_utt, pool_valid)
 
 
-@partial(jax.jit, donate_argnums=(0,))
 def _refill(state: StreamState, pool_tokens, pool_cache,
             pool_stop, pool_utt, pool_valid) -> StreamState:
     """Scatter an E-row pool batch's CROSS-KV into the window's free rows
     and reset their metadata (count 0 => prompt replay starts). The caller
-    guarantees >= E rows are free (finished or inactive). The window state
-    is DONATED: the multi-GB KV cache is updated in place — without
-    donation the scatter doubles the window's HBM footprint and OOMs a
-    v5e at production window sizes. Self-KV rows are left stale: the ring
-    age mask hides them (count resets to 0)."""
+    guarantees >= E rows are free (finished or inactive). Self-KV rows are
+    left stale: the ring age mask hides them (count resets to 0).
+    Traced inside _encode_refill (not a standalone dispatch)."""
     e = pool_stop.shape[0]
     free = state.finished | ~state.active
     # free rows first, stable; take E targets
@@ -305,11 +308,10 @@ def generate_greedy_streaming(
         utts = np.full((e,), -1, np.int64)
         utts[: hi - lo] = np.arange(lo, hi)
         next_utt = hi
-        pool_cache = _encode_pool(params, cfg, batch, opts, **kw)
-        return _refill(
-            state, pool_tokens, pool_cache,
+        return _encode_refill(
+            params, cfg, state, batch, pool_tokens,
             jnp.asarray(stops, jnp.int32), jnp.asarray(utts, jnp.int32),
-            jnp.asarray(valid),
+            jnp.asarray(valid), opts=opts, **kw,
         )
 
     # initial fill: as many pool batches as fit in the window

@@ -87,33 +87,28 @@ def main():
     state = sync(streaming._empty_state(params, cfg, opts, rows=w, **kw))
     out["empty_state_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
 
-    # --- phase: pool prep (encode + cross-KV init) ---------------------------
+    # --- phase: fused encode+refill (one donated program) --------------------
     tokens_pool = jnp.asarray(
         np.asarray(streaming._prompt_tokens(opts, cfg.pad_token_id, e))
     )
-    cache_pool = streaming._encode_pool(params, cfg, mel, opts, **kw)
-    sync(cache_pool.cross_k)  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cache_pool = streaming._encode_pool(params, cfg, mel, opts, **kw)
-        sync(cache_pool.cross_k)
-        times.append(time.perf_counter() - t0)
-    out["prep_pool_ms"] = round(float(np.min(times)) * 1e3, 1)
-
-    # --- phase: refill scatter ----------------------------------------------
     stops = jnp.full((e,), 40, jnp.int32)
     utts = jnp.arange(e, dtype=jnp.int32)
     valid = jnp.ones((e,), bool)
+    state = streaming._encode_refill(
+        params, cfg, state, mel, tokens_pool, stops, utts, valid,
+        opts=opts, **kw,
+    )
+    sync(state.tokens)  # compile
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        state = streaming._refill(
-            state, tokens_pool, cache_pool, stops, utts + i * e, valid
+        state = streaming._encode_refill(
+            params, cfg, state, mel, tokens_pool, stops, utts + i * e,
+            valid, opts=opts, **kw,
         )
         sync(state.tokens)
         times.append(time.perf_counter() - t0)
-    out["refill_ms"] = round(float(np.min(times)) * 1e3, 1)
+    out["encode_refill_ms"] = round(float(np.min(times)) * 1e3, 1)
 
     # --- phase: decode rounds -------------------------------------------------
     # fill the whole window first so steps run at full occupancy
@@ -121,12 +116,10 @@ def main():
         got = int(np.sum(np.asarray(state.active)))
         if got >= w:
             break
-        cache_pool = streaming._encode_pool(params, cfg, mel, opts, **kw)
-        state = streaming._refill(
-            state, tokens_pool, cache_pool,
-            jnp.full((e,), 176, jnp.int32), utts, valid,
+        state = streaming._encode_refill(
+            params, cfg, state, mel, tokens_pool,
+            jnp.full((e,), 176, jnp.int32), utts, valid, opts=opts, **kw,
         )
-    cache_pool = None  # free the pool cross-KV before the step compile
     sync(state.tokens)
     step_kw = dict(n_steps=args.steps, **kw)
     state = streaming._steps(params, cfg, state, opts, st, **step_kw)
