@@ -38,6 +38,8 @@ to per-utterance generate_greedy — asserted by tests/test_streaming_decode.py.
 """
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
@@ -314,27 +316,54 @@ def generate_greedy_streaming(
             jnp.asarray(valid), opts=opts, **kw,
         )
 
+    # Host-side phase accounting (KWT_STREAM_TRACE=1): dispatch time per
+    # phase plus the device_get sync (which absorbs all device time of the
+    # round) — decomposes the loop without adding fences.
+    trace = os.environ.get("KWT_STREAM_TRACE", "0") != "0"
+    acc = {"steps": 0.0, "sync": 0.0, "harvest": 0.0, "refill": 0.0,
+           "rounds": 0, "refills": 0}
+
+    def timed(key, fn, *a, **k):
+        t0 = time.perf_counter()
+        out = fn(*a, **k)
+        acc[key] += time.perf_counter() - t0
+        return out
+
     # initial fill: as many pool batches as fit in the window
     filled = 0
     while next_utt < n and filled + e <= w:
-        state = refill_once(state)
+        state = timed("refill", refill_once, state)
+        acc["refills"] += 1
         filled += e
 
     while len(results) < n:
-        state = _steps(
-            params, cfg, state, opts, special,
+        acc["rounds"] += 1
+        state = timed(
+            "steps", _steps, params, cfg, state, opts, special,
             n_steps=stream.steps_per_round, **kw,
         )
-        tokens, finished, active, utt_id = jax.device_get(
-            (state.tokens, state.finished, state.active, state.utt_id)
+        tokens, finished, active, utt_id = timed(
+            "sync", jax.device_get,
+            (state.tokens, state.finished, state.active, state.utt_id),
         )
+        t0 = time.perf_counter()
         for r in np.nonzero(finished & active)[0]:
             uid = int(utt_id[r])
             if uid >= 0 and uid not in results:
                 results[uid] = tokens[r].copy()
         n_free = int(np.sum(finished | ~active))
+        acc["harvest"] += time.perf_counter() - t0
         while next_utt < n and n_free >= e:
-            state = refill_once(state)
+            state = timed("refill", refill_once, state)
+            acc["refills"] += 1
             n_free -= e
 
+    if trace:
+        import json as _json
+        import sys as _sys
+
+        print("KWT_STREAM_TRACE " + _json.dumps(
+            {k: round(v, 3) if isinstance(v, float) else v
+             for k, v in acc.items()}
+        ), file=_sys.stderr)
     return np.stack([results[i] for i in range(n)])
