@@ -58,7 +58,11 @@ from kotoba_whisper_tpu.models import whisper
 class StreamConfig:
     batch: int = 48            # decode window rows (W)
     encode_batch: int = 16     # utterances encoded per refill (E)
-    steps_per_round: int = 8   # decode steps per host sync
+    steps_per_round: int = 64  # max decode steps per host sync — the
+    # round ends EARLY on-device once enough rows are free to refill
+    # (free_for in _steps), so this is a backstop, not a cadence: each
+    # host round-trip (a real cost on remote-attached chips) then
+    # corresponds to one refill, not one fixed-size step batch
 
 
 class StreamState(NamedTuple):
@@ -192,15 +196,22 @@ def _refill(state: StreamState, pool_tokens, pool_cache,
 )
 def _steps(
     params, cfg: WhisperConfig, state: StreamState, opts: GenerateOptions,
-    special: SpecialTokens, *, n_steps: int,
+    special: SpecialTokens, free_for, *, n_steps: int,
     compute_dtype, attn_impl, kv_dtype,
 ) -> StreamState:
-    """Run up to n_steps shared-ring decode steps (early exit when all
-    rows are finished). Each step: feed every row its token at index
-    `count` (prompt token during replay, last sampled otherwise), write
-    K/V at the shared ring slot, take the rule-masked argmax, and keep
-    the existing token instead wherever the row is still replaying its
-    prompt or already finished."""
+    """Run up to n_steps shared-ring decode steps. The round ends ON
+    DEVICE as soon as at least `free_for` rows are free (finished or
+    inactive) — i.e. exactly when the host has a refill to perform — or
+    when every row is finished. This makes host round-trips proportional
+    to refills instead of a fixed step cadence (each sync is a real
+    latency cost on remote-attached chips). `free_for` is traced: pass
+    w+1 to drain to completion without recompiling.
+
+    Each step: feed every row its token at index `count` (prompt token
+    during replay, last sampled otherwise), write K/V at the shared ring
+    slot, take the rule-masked argmax, and keep the existing token
+    instead wherever the row is still replaying its prompt or already
+    finished."""
     rc = opts.rule_config(special)
     pad = cfg.pad_token_id
     eot = special.eot
@@ -211,7 +222,8 @@ def _steps(
 
     def cond(carry):
         i, st = carry
-        return (i < n_steps) & ~jnp.all(st.finished)
+        n_free = jnp.sum(st.finished | ~st.active)
+        return (i < n_steps) & ~jnp.all(st.finished) & (n_free < free_for)
 
     def body(carry):
         i, st = carry
@@ -338,8 +350,12 @@ def generate_greedy_streaming(
 
     while len(results) < n:
         acc["rounds"] += 1
+        # end the round on-device exactly when a refill becomes possible;
+        # once the stream is drained, run to completion (w+1 never trips)
+        want = e if next_utt < n else w + 1
         state = timed(
             "steps", _steps, params, cfg, state, opts, special,
+            jnp.asarray(want, jnp.int32),
             n_steps=stream.steps_per_round, **kw,
         )
         tokens, finished, active, utt_id = timed(

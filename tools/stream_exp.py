@@ -122,12 +122,15 @@ def main():
         )
     sync(state.tokens)
     step_kw = dict(n_steps=args.steps, **kw)
-    state = streaming._steps(params, cfg, state, opts, st, **step_kw)
+    never = jnp.asarray(w + 1, jnp.int32)  # fixed-length rounds for timing
+    state = streaming._steps(params, cfg, state, opts, st, never, **step_kw)
     sync(state.tokens)  # compile
     times = []
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        state = streaming._steps(params, cfg, state, opts, st, **step_kw)
+        state = streaming._steps(
+            params, cfg, state, opts, st, never, **step_kw
+        )
         sync(state.tokens)
         times.append(time.perf_counter() - t0)
     out["round_ms"] = round(float(np.min(times)) * 1e3, 1)
