@@ -25,8 +25,18 @@ single-stream 30 s latency on its CUDA GPU (0.184 s -> 163 audio-s/s,
 eval_pipeline/runtime_pipeline.jsonl) — the only speed point the reference
 publishes; hardware differs, so it is a cross-stack reference, not an A/B.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}
-where extra carries the secondary configs.
+Prints a JSON result line {"metric", "value", "unit", "vs_baseline",
+"extra"} INCREMENTALLY — re-emitted after every config that completes — so
+a run killed by an outer budget still reports whatever finished (the
+driver parses the last JSON line). The headline is the better of
+stream-real and fixed-48. Budgeting: each config gets ONE watchdog
+attempt, sized so the worst case (every config timing out cold) stays
+under KWT_BENCH_TOTAL (default 1380 s) — round 2's null result came from
+2x1500 s attempts on the first config alone. The persistent XLA
+compilation cache is ON by default here (KWT_COMPILE_CACHE=off to
+disable): large-model compiles cost 5-10 min each through this
+environment's remote-compile service, and warm-cache reruns make the
+whole bench fit its budget.
 """
 from __future__ import annotations
 
@@ -39,7 +49,11 @@ import time
 import numpy as np
 
 BASELINE_RATE = 30.0 / 0.184  # reference large-v3, 30 s utterance, cuda:0
-WATCHDOG_SECS = int(os.environ.get("KWT_BENCH_TIMEOUT", "1500"))
+TOTAL_SECS = int(os.environ.get("KWT_BENCH_TOTAL", "1380"))
+# per-config watchdog caps; sum <= TOTAL_SECS worst case
+CONFIG_CAPS = {"fixed-48": 600, "stream-real": 450, "train-b8": 320}
+# minimum useful budget to even attempt a config late in the run
+MIN_BUDGET = 90
 
 
 def _realistic_stops(n: int, prompt_len: int, rng) -> np.ndarray:
@@ -279,9 +293,29 @@ def _emit(headline: float, extra: dict) -> None:
     }))
 
 
+def _headline(extra: dict) -> float | None:
+    """Better of the two decode configs (VERDICT r2 #2: headline must
+    match the winning config); fall back to train if neither ran."""
+    vals = [extra[n]["value"] for n in ("stream-real", "fixed-48")
+            if n in extra]
+    if vals:
+        return max(vals)
+    if "train-b8" in extra:
+        return extra["train-b8"]["value"]
+    return None
+
+
 def main() -> None:
+    # Compile cache ON by default for this process and all children (the
+    # opt-out stays available). Round 2 shipped no number because every
+    # config recompiled cold through the remote-compile service.
+    os.environ.setdefault("KWT_COMPILE_CACHE", "on")
+
     if len(sys.argv) > 1 and sys.argv[1] == "--config":
-        print(json.dumps(RUNNERS[sys.argv[2]]()))
+        from kotoba_whisper_tpu.utils.backend import enable_compilation_cache
+
+        enable_compilation_cache()
+        print(json.dumps(RUNNERS[sys.argv[2]]()), flush=True)
         return
 
     import jax
@@ -291,41 +325,45 @@ def main() -> None:
         _emit(rec["value"], {"note": "cpu smoke (no TPU visible)", **rec})
         return
 
+    t_start = time.monotonic()
+    order = ("fixed-48", "stream-real", "train-b8")
     extra: dict = {}
-    # headline first; each config gets (up to) two watchdog attempts
-    for name in ("stream-real", "fixed-48", "train-b8"):
-        for attempt in range(2):
-            try:
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--config", name],
-                    timeout=WATCHDOG_SECS, capture_output=True, text=True,
-                )
-                rec = None
-                for line in out.stdout.splitlines():
-                    if line.startswith('{"config"'):
-                        rec = json.loads(line)
-                if rec is not None:
-                    extra[name] = rec
-                    break
+    for i, name in enumerate(order):
+        # budget = cap, shrunk so every remaining config keeps MIN_BUDGET
+        elapsed = time.monotonic() - t_start
+        reserve = MIN_BUDGET * (len(order) - i - 1)
+        budget = min(CONFIG_CAPS[name], TOTAL_SECS - elapsed - reserve)
+        if budget < MIN_BUDGET:
+            print(f"bench {name} skipped (out of budget)", file=sys.stderr)
+            continue
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--config", name],
+                timeout=budget, capture_output=True, text=True,
+            )
+            rec = None
+            for line in out.stdout.splitlines():
+                if line.startswith('{"config"'):
+                    rec = json.loads(line)
+            if rec is not None:
+                extra[name] = rec
+            else:
                 print(
                     f"bench {name} produced no record (rc={out.returncode}):"
                     f" {out.stderr[-400:]}", file=sys.stderr,
                 )
-            except subprocess.TimeoutExpired:
-                print(
-                    f"bench {name} timed out ({WATCHDOG_SECS}s), "
-                    f"attempt {attempt + 1}", file=sys.stderr,
-                )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench {name} timed out ({budget:.0f}s)", file=sys.stderr,
+            )
+        # emit after EVERY config so a killed run still reports (r2 fix)
+        h = _headline(extra)
+        if h is not None:
+            _emit(h, dict(extra))
 
-    headline = None
-    for name in ("stream-real", "fixed-48"):
-        if name in extra:
-            headline = extra[name]["value"]
-            break
-    if headline is None:
+    if _headline(extra) is None:
         raise SystemExit("no bench config completed")
-    _emit(headline, extra)
 
 
 if __name__ == "__main__":

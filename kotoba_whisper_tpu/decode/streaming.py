@@ -58,6 +58,12 @@ from kotoba_whisper_tpu.models import whisper
 class StreamConfig:
     batch: int = 48            # decode window rows (W)
     encode_batch: int = 16     # utterances encoded per refill (E)
+    source_windows: int = 256  # max mel windows resident on device at
+    # once when the caller passes a HOST (numpy) mel stream: the source is
+    # uploaded in slabs of this many windows so arbitrary-N streams cannot
+    # OOM HBM next to the window state ((256, 128, 3000) bf16 ≈ 188 MB).
+    # Callers that pass an already-device jax.Array own residency and are
+    # used whole (the bench stages its bounded stream up front).
     steps_per_round: int = 64  # max decode steps per host sync — the
     # round ends EARLY on-device once enough rows are free to refill
     # (free_for in _steps), so this is a backstop, not a cadence: each
@@ -282,7 +288,12 @@ def generate_greedy_streaming(
     Token-identical to generate_greedy row-for-row; rows are refilled as
     they finish so throughput tracks the MEAN sequence length instead of
     the per-batch max. `stop_at` optionally caps each utterance's total
-    token count (used by the realistic-length bench)."""
+    token count (used by the realistic-length bench).
+
+    Device residency contract: a numpy `mels` is uploaded in slabs of
+    `stream.source_windows` (padded on host, so no fp32 device transient),
+    bounding HBM use for arbitrary N; a jax.Array `mels` is used whole —
+    the caller has already placed it and owns its footprint."""
     n = mels.shape[0]
     w, e = stream.batch, stream.encode_batch
     assert e <= w
@@ -305,16 +316,37 @@ def generate_greedy_streaming(
     # Keep the mel source ON DEVICE: per-refill host->device uploads sit on
     # the dispatch path and, on remote-attached TPUs, on the host tunnel —
     # measured as the dominant cost of the whole stream in bench r2. A
-    # device-resident source makes each refill a pure device slice.
-    mels_dev = jnp.asarray(mels)
-    if n % e:  # pad once so every refill is the same static (E, ...) slice
-        mels_dev = jnp.pad(mels_dev, ((0, e - n % e), (0, 0), (0, 0)))
+    # device-resident source makes each refill a pure device slice. Host
+    # (numpy) sources are padded ON HOST (no device fp32 pad transient)
+    # and uploaded in source_windows-sized slabs so unbounded N stays
+    # HBM-safe; slab uploads amortize over slab/e refills.
+    n_pad = n if n % e == 0 else n + (e - n % e)
+    if isinstance(mels, jax.Array):
+        if n % e:
+            mels = jnp.pad(mels, ((0, n_pad - n), (0, 0), (0, 0)))
+        mels_host, slab_size = None, n_pad
+        mels_dev, slab_lo = mels, 0
+    else:
+        mels_host = np.asarray(mels)
+        if n % e:
+            mels_host = np.pad(
+                mels_host, ((0, n_pad - n), (0, 0), (0, 0))
+            )
+        slab_size = max(stream.source_windows - stream.source_windows % e, e)
+        mels_dev, slab_lo = jnp.asarray(mels_host[:slab_size]), 0
 
     def refill_once(state):
-        nonlocal next_utt
+        nonlocal next_utt, mels_dev, slab_lo
         lo = next_utt
         hi = min(lo + e, n)
-        batch = jax.lax.dynamic_slice_in_dim(mels_dev, lo, e, axis=0)
+        if lo - slab_lo >= slab_size:  # advance to the next source slab
+            slab_lo = lo - lo % slab_size
+            mels_dev = jnp.asarray(
+                mels_host[slab_lo : slab_lo + slab_size]
+            )
+        batch = jax.lax.dynamic_slice_in_dim(
+            mels_dev, lo - slab_lo, e, axis=0
+        )
         valid = np.zeros((e,), bool)
         valid[: hi - lo] = True
         stops = np.full((e,), opts.max_length, np.int64)

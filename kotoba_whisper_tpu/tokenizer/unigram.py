@@ -42,6 +42,9 @@ class UnigramTokenizer:
     unk_id: int
     added_tokens: dict[str, int] = field(default_factory=dict)
     max_piece_len: int = 1
+    # cached at load: an O(V) scan per pre-token would dominate encode
+    # time on NLLB's ~256k vocab
+    min_score: float = 0.0
 
     @classmethod
     def from_tokenizer_json(cls, path: str) -> "UnigramTokenizer":
@@ -66,6 +69,9 @@ class UnigramTokenizer:
             unk_id=model.get("unk_id", 0),
             added_tokens=added,
             max_piece_len=max((len(p) for p in pieces), default=1),
+            min_score=min(
+                (s for _, s in pieces.values()), default=0.0
+            ),
         )
 
     # -- core unigram inference ------------------------------------------------
@@ -75,10 +81,7 @@ class UnigramTokenizer:
         Viterbi). Unknown characters score min_score - 10; consecutive
         unks fuse into one unk token (tokenizers fuse_unk semantics)."""
         n = len(word)
-        min_score = min(
-            (s for _, s in self.pieces.values()), default=0.0
-        )
-        unk_score = min_score - _UNK_PENALTY
+        unk_score = self.min_score - _UNK_PENALTY
         # best[i] = (score, start_of_last_piece, piece_id or None=unk)
         NEG = float("-inf")
         best = [(NEG, -1, -1)] * (n + 1)

@@ -65,6 +65,22 @@ def test_streaming_matches_lockstep_greedy(setup, kv_dtype):
         assert np.all(out[i][L:] == cfg.pad_token_id) or full[i][L - 1] == st.eot
 
 
+def test_streaming_slabbed_host_source(setup):
+    """A numpy source larger than source_windows is uploaded in slabs;
+    output must be identical, including with N not a multiple of E
+    (host-side pad path)."""
+    cfg, st, params, mels, opts = setup
+    m = mels[:9]  # 9 % encode_batch(2) != 0 -> host pad
+    full = np.asarray(generate_greedy(params, cfg, jnp.asarray(m), opts, st))
+    out = generate_greedy_streaming(
+        params, cfg, m, opts, st,
+        stream=StreamConfig(
+            batch=4, encode_batch=2, steps_per_round=3, source_windows=4
+        ),
+    )
+    np.testing.assert_array_equal(out, full)
+
+
 def test_streaming_window_larger_than_stream(setup):
     """N < W: the window never fully fills; drain still completes."""
     cfg, st, params, mels, opts = setup
