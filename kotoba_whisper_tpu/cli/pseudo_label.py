@@ -99,10 +99,9 @@ def main(argv=None) -> None:
     params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
     params = common.fuse_unless(params, arg.no_fuse)
     if arg.gemm_dtype != "compute":
-        assert arg.mesh_model_axis == 1, (
-            "--gemm_dtype int8 is not yet supported with tensor parallelism "
-            "(the TP sharding rules target full-precision kernels)"
-        )
+        # composes with TP: core/mesh.py shards kernel_q/kernel_scale with
+        # the same column/row-parallel rules as full-precision kernels
+        # (tests/test_sharded.py::test_tp_decode_int8_gemm)
         params = common.quantize_if(params, arg.gemm_dtype)
     attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 

@@ -55,6 +55,10 @@ def build_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
 #   - everything else (LayerNorm, biases on reduced dims): replicated
 # ---------------------------------------------------------------------------
 
+_COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "qkv_proj", "kv_proj", "fc1")
+_ROW_PARALLEL = ("out_proj", "fc2")
+
+
 def _param_spec(path: tuple[str, ...], ndim: int) -> P:
     name = path[-1]
     parent = path[-2] if len(path) >= 2 else ""
@@ -65,14 +69,20 @@ def _param_spec(path: tuple[str, ...], ndim: int) -> P:
     def spec(*dims):
         return P(None, *dims) if stacked else P(*dims)
 
+    if name == "kernel_scale":
+        # w8a8 per-out-channel scales (models/quantized.py): follow the
+        # quantized kernel's out-dim sharding so TP composes with
+        # --gemm_dtype int8 (column-parallel shards out; row-parallel
+        # scales are per-out over a sharded contraction -> replicated)
+        return spec(MODEL_AXIS) if parent in _COLUMN_PARALLEL else P()
     base_ndim = ndim - 1 if stacked else ndim
     if base_ndim <= 1:
         # biases / LN scales replicated (GSPMD reshards the add as needed)
         return P()
-    if name == "kernel":
-        if parent in ("q_proj", "k_proj", "v_proj", "qkv_proj", "kv_proj", "fc1"):
+    if name in ("kernel", "kernel_q"):
+        if parent in _COLUMN_PARALLEL:
             return spec(None, MODEL_AXIS)   # column-parallel: shard out dim
-        if parent in ("out_proj", "fc2"):
+        if parent in _ROW_PARALLEL:
             return spec(MODEL_AXIS, None)   # row-parallel: shard in dim
         if parent in ("conv1", "conv2"):
             # (width, in, out): shard out channels

@@ -70,12 +70,19 @@ def generate_greedy(
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
     kv_dtype: str = "compute",
+    stop_at: jax.Array | None = None,
 ) -> jax.Array:
     """(B, n_mels, 3000) -> (B, max_length) token ids.
 
     Output rows are [prompt..., generated..., eot, pad, pad, ...]; pad is
     cfg.pad_token_id. Lockstep greedy: every row decodes until all rows have
-    finished or max_length is hit.
+    finished or max_length is hit. `stop_at` (B,) optionally caps each
+    row's total token count (the row is marked finished once it holds
+    stop_at[i] tokens); the loop still exits early when every row is
+    finished — the lockstep cost is the per-batch MAX stop, which is the
+    reference generate() loop's behavior under early stopping
+    (run_pseudo_labelling.py:333-344) and the comparator measured against
+    continuous batching in tools/stream_ab.py.
     """
     b = input_features.shape[0]
     p = len(opts.prompt_ids)
@@ -125,6 +132,8 @@ def generate_greedy(
             tokens, nxt[:, None], cur_len, axis=1
         )
         finished = finished | (nxt == eot)
+        if stop_at is not None:
+            finished = finished | (cur_len + 1 >= stop_at)
         return tokens, cache, finished, cur_len + 1
 
     finished = jnp.zeros((b,), bool)

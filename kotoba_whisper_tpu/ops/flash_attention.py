@@ -76,6 +76,7 @@ def _fwd_kernel_single(
     *,
     scale: float,
     use_exp2: bool,
+    no_max: bool = False,
 ):
     """One-shot softmax over the full key range (non-causal, K/V in VMEM).
 
@@ -84,7 +85,13 @@ def _fwd_kernel_single(
     With use_exp2 the exponential is computed as exp2(x·log2e) (log2e folded
     into the score scale in fp32), trading one multiply for whatever the
     hardware saves on pow2 vs exp; the lse residual is converted back to
-    natural-log units so the backward kernels are agnostic."""
+    natural-log units so the backward kernels are agnostic.
+
+    no_max replaces the max REDUCTION over the (BQ, T) scores with a
+    Cauchy-Schwarz upper bound ||q_i||·max_j||k_j||·scale computed from the
+    O(T·D) operands — softmax/lse are shift-exact under ANY upper bound
+    (exp(s−m)≤1 prevents overflow; the bound's slack only costs dynamic
+    range, bounded by √D in the worst q⊥k case — fp32 has 80+ decades)."""
     tk = k_ref.shape[0]
     in_dtype = q_ref.dtype
     valid_len = valid_len_ref[0]
@@ -105,7 +112,21 @@ def _fwd_kernel_single(
     bias = jnp.where(col < valid_len, 0.0, NEG_INF)
     s = s + bias
 
-    m = jnp.max(s, axis=-1, keepdims=True)
+    if no_max:
+        qf = q.astype(jnp.float32)
+        kf = k_ref[:].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))  # (BQ,1)
+        kn2 = jnp.sum(kf * kf, axis=-1, keepdims=True)           # (T,1)
+        # mask padded k rows out of the norm max via the same bias trick
+        kn2 = kn2 + jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (tk, 1), 0) < valid_len,
+            0.0, NEG_INF,
+        )
+        kn = jnp.sqrt(jnp.maximum(jnp.max(kn2), 0.0))
+        mult = 1.0 if exact else c
+        m = qn * (kn * mult)                                     # (BQ,1)
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
     z = s - m
     p = jnp.exp2(z) if use_exp2 else jnp.exp(z)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -119,6 +140,67 @@ def _fwd_kernel_single(
         lse_ref[:] = m * LN2 + jnp.log(l_safe)
     else:
         lse_ref[:] = m + jnp.log(l_safe)
+
+
+def _fwd_kernel_single_int8(
+    valid_len_ref,
+    q_ref,          # (BQ, D) input dtype
+    k8_ref,         # (Tk_padded, D) int8 (pre-quantized per key row)
+    ks_ref,         # (1, Tk_padded) fp32 per-key-row scales
+    v_ref,          # (Tk_padded, D) input dtype (qk mode) or int8 (qkpv)
+    vs_ref,         # (1, D) fp32 per-v-column scales, or None (qk mode)
+    o_ref,
+    lse_ref,
+    *,
+    scale: float,
+    pv8: bool,
+):
+    """int8 attention core (VERDICT r2 #3): q is quantized per query row
+    in-kernel, K arrives pre-quantized per key row, and QK^T runs as
+    s8×s8→s32 on the MXU's double-rate int8 path (measured 1.86× bf16,
+    tools/matmul_cal.py). The rank-1 dequant (q_scale_i · k_scale_j ·
+    softmax_scale) is exact — only the 8-bit rounding is lossy. pv8
+    additionally quantizes P (∈[0,1], fixed 127 scale) and uses per-column
+    int8 V so the PV dot is int8 too. The extra VPU passes this adds
+    (dequant multiply, p quantization) are the experiment's cost side —
+    the core is exp-bound per docs/DESIGN.md, so the dot savings must beat
+    them to win."""
+    tk = k8_ref.shape[0]
+    in_dtype = q_ref.dtype
+    valid_len = valid_len_ref[0]
+
+    qf = q_ref[:].astype(jnp.float32)
+    qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qs = jnp.maximum(qa, 1e-8) * (1.0 / 127.0)      # (BQ, 1)
+    q8 = jnp.round(qf / qs).astype(jnp.int8)
+
+    s32 = jax.lax.dot_general(
+        q8, k8_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # rank-1 exact dequant + softmax scale; fused with the tail-mask bias
+    s = s32.astype(jnp.float32) * ((qs * scale) * ks_ref[:])
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+    s = s + jnp.where(col < valid_len, 0.0, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if pv8:
+        p8 = jnp.round(p * 127.0).astype(jnp.int8)
+        o32 = jax.lax.dot_general(
+            p8, v_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        o = o32.astype(jnp.float32) * ((1.0 / 127.0) * vs_ref[:])
+    else:
+        o = jax.lax.dot_general(
+            p.astype(in_dtype), v_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[:] = (o / l_safe).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(l_safe)
 
 
 def _fwd_kernel(
@@ -381,9 +463,15 @@ def _pad_t(x, t_pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=(
+        "causal", "block_q", "block_k", "interpret", "int8_mode", "no_max"
+    ),
 )
-def _flash_fwd(q, k, v, *, causal, block_q, block_k, interpret):
+def _flash_fwd(
+    q, k, v, *, causal, block_q, block_k, interpret,
+    int8_mode: str = "", no_max: bool = False,
+):
     bh, tq, d = q.shape
     tk = k.shape[1]
     scale = 1.0 / (d**0.5)
@@ -399,28 +487,64 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, interpret):
     q, k, v = _pad_t(q, tq_p), _pad_t(k, tk_p), _pad_t(v, tk_p)
     valid_len = jnp.full((1,), tk, jnp.int32)
 
-    if single:
-        # exp2-with-folded-log2e measured identical to exp on v5e (the
-        # lowering is the same hardware approximation); keep natural exp
+    int8_mode = int8_mode if single else ""
+    if int8_mode:
+        # K quantized ONCE per (b·h) outside the kernel (the in-kernel
+        # alternative would requantize per q-block); scales laid out (1, T)
+        # so the kernel's rank-1 dequant is a lane-aligned broadcast row
+        kf = k.astype(jnp.float32)
+        ka = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1, keepdims=True), 1e-8)
+        ks = ka * (1.0 / 127.0)
+        k8 = jnp.round(kf / ks).astype(jnp.int8)
+        ks_row = ks[..., 0][:, None, :]                      # (bh, 1, Tk)
+        pv8 = int8_mode == "qkpv"
+        if pv8:
+            vf = v.astype(jnp.float32)
+            va = jnp.maximum(
+                jnp.max(jnp.abs(vf), axis=1, keepdims=True), 1e-8
+            )                                                # (bh, 1, D)
+            vs = va * (1.0 / 127.0)
+            v_in = jnp.round(vf / vs).astype(jnp.int8)
+        else:
+            vs = jnp.ones((bh, 1, d), jnp.float32)
+            v_in = v
         kernel = functools.partial(
-            _fwd_kernel_single, scale=scale,
-            use_exp2=os.environ.get("KWT_FA_EXP2", "0") != "0",
+            _fwd_kernel_single_int8, scale=scale, pv8=pv8,
         )
+        in_arrays = (valid_len, q, k8, ks_row, v_in, vs)
+        in_specs = [
+            pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, 1, tk_p), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, 1, d), lambda i, j, *_: (i, 0, 0)),
+        ]
     else:
-        kernel = functools.partial(
-            _fwd_kernel, block_k=block_k, causal=causal, scale=scale,
-            offset=tk - tq,
-        )
+        if single:
+            # exp2-with-folded-log2e measured identical to exp on v5e (the
+            # lowering is the same hardware approximation); keep natural exp
+            kernel = functools.partial(
+                _fwd_kernel_single, scale=scale,
+                use_exp2=os.environ.get("KWT_FA_EXP2", "0") != "0",
+                no_max=no_max,
+            )
+        else:
+            kernel = functools.partial(
+                _fwd_kernel, block_k=block_k, causal=causal, scale=scale,
+                offset=tk - tq,
+            )
+        in_arrays = (valid_len, q, k, v)
+        in_specs = [
+            pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
+        ]
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, tq_p // block_q),
-            in_specs=[
-                pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((None, tk_p, d), lambda i, j, *_: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((None, block_q, d), lambda i, j, *_: (i, j, 0)),
                 pl.BlockSpec((None, block_q, 1), lambda i, j, *_: (i, j, 0)),
@@ -431,7 +555,7 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, interpret):
             jax.ShapeDtypeStruct((bh, tq_p, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(valid_len, q, k, v)
+    )(*in_arrays)
     return out[:, :tq], lse[:, :tq]
 
 
@@ -543,9 +667,13 @@ def _fwd_call(q, k, v, causal):
     tk = k.shape[1]
     block_q, block_k = _blocks(tq, tk)
     interpret = jax.default_backend() != "tpu"
+    # experiment switches read OUTSIDE the jit (static args -> retrace on
+    # change): int8 attention core and norm-bound no-max softmax
     out, lse = _flash_fwd(
         _to_bh(q), _to_bh(k), _to_bh(v),
         causal=causal, block_q=block_q, block_k=block_k, interpret=interpret,
+        int8_mode=os.environ.get("KWT_FA_INT8", ""),
+        no_max=os.environ.get("KWT_FA_NOMAX", "0") != "0",
     )
     return _from_bh(out, b, h), lse
 

@@ -88,3 +88,35 @@ def test_flash_backward_kernels_match_xla(rng, tq, tk, causal):
             np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3,
             err_msg=f"d{name} tq={tq} tk={tk} causal={causal}",
         )
+
+
+def test_flash_no_max_variant_matches(rng, monkeypatch):
+    """KWT_FA_NOMAX: shift-exact softmax under the Cauchy-Schwarz bound —
+    output must match the max-reduce kernel to fp accumulation noise."""
+    monkeypatch.setenv("KWT_FA_NOMAX", "1")
+    b, t, h, d = 2, 300, 4, 64
+    q, k, v = _rand(rng, b, t, h, d), _rand(rng, b, t, h, d), _rand(rng, b, t, h, d)
+    ours = flash_attention(q, k, v)
+    monkeypatch.delenv("KWT_FA_NOMAX")
+    golden = attention_xla(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(golden), atol=2e-5, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("mode", ["qk", "qkpv"])
+def test_flash_int8_core_close(rng, monkeypatch, mode):
+    """KWT_FA_INT8: the s8 MXU score path holds cosine > 0.999 per row vs
+    the exact kernel (8-bit rounding is the only loss; scale folding is
+    exact by construction)."""
+    monkeypatch.setenv("KWT_FA_INT8", mode)
+    b, t, h, d = 2, 300, 4, 64
+    q, k, v = _rand(rng, b, t, h, d), _rand(rng, b, t, h, d), _rand(rng, b, t, h, d)
+    ours = np.asarray(flash_attention(q, k, v), np.float32)
+    monkeypatch.delenv("KWT_FA_INT8")
+    golden = np.asarray(attention_xla(q, k, v), np.float32)
+    num = np.sum(ours * golden, axis=-1)
+    cos = num / (
+        np.linalg.norm(ours, axis=-1) * np.linalg.norm(golden, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.999, cos.min()

@@ -178,3 +178,39 @@ def test_tp_sharded_streaming_decode_matches(setup):
             stream=StreamConfig(batch=2, encode_batch=2, steps_per_round=4),
         )
     np.testing.assert_array_equal(out, golden)
+
+
+def test_tp_decode_int8_gemm(setup):
+    """w8a8 (--gemm_dtype int8) composes with TP: kernel_q/kernel_scale
+    shard under the same column/row-parallel rules (core/mesh.py), and the
+    sharded quantized decode is token-identical to the unsharded quantized
+    run (VERDICT r2 #5)."""
+    from kotoba_whisper_tpu.models.quantized import quantize_for_inference
+
+    cfg, params, mel = setup
+    qparams = quantize_for_inference(params)
+    prompt = (ST.sot, ST.lang_begin + 6, ST.transcribe)
+    opts = GenerateOptions(prompt_ids=prompt, max_length=16)
+
+    golden = np.asarray(generate_greedy(qparams, cfg, mel, opts, ST))
+
+    specs = params_pspec_tree(qparams)
+    enc = specs["encoder"]["layers"]
+    assert enc["fc1"]["kernel_q"] == P(None, None, "model")
+    assert enc["fc1"]["kernel_scale"] == P(None, "model")
+    assert enc["fc2"]["kernel_q"] == P(None, "model", None)
+    assert enc["fc2"]["kernel_scale"] == P()
+
+    mesh = build_mesh(MeshConfig(data=2, model=4))
+    with mesh:
+        p_sharded = sharded.place_params(mesh, qparams, model_sharded=True)
+        # verify the quantized kernel is actually sharded on the mesh
+        leaf = p_sharded["encoder"]["layers"]["fc1"]["kernel_q"]
+        assert leaf.addressable_shards[0].data.shape == (
+            cfg.encoder_layers, cfg.d_model, cfg.encoder_ffn_dim // 4
+        )
+        mel_sharded = sharded.place_batch(mesh, mel)
+        out = np.asarray(
+            generate_greedy(p_sharded, cfg, mel_sharded, opts, ST)
+        )
+    np.testing.assert_array_equal(out, golden)

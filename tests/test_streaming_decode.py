@@ -81,6 +81,24 @@ def test_streaming_slabbed_host_source(setup):
     np.testing.assert_array_equal(out, full)
 
 
+def test_lockstep_stop_at(setup):
+    """generate_greedy(stop_at=...): each row's output is the unrestricted
+    run truncated at its stop (lockstep rows decode until the batch max
+    stop, but finished rows emit pad)."""
+    cfg, st, params, mels, opts = setup
+    m = jnp.asarray(mels[:4])
+    full = np.asarray(generate_greedy(params, cfg, m, opts, st))
+    stops = np.asarray([9, 14, 24, 17])
+    out = np.asarray(
+        generate_greedy(
+            params, cfg, m, opts, st, stop_at=jnp.asarray(stops, jnp.int32)
+        )
+    )
+    for i, L in enumerate(stops):
+        np.testing.assert_array_equal(out[i][:L], full[i][:L])
+        assert np.all(out[i][L:] == cfg.pad_token_id) or full[i][L - 1] == st.eot
+
+
 def test_streaming_window_larger_than_stream(setup):
     """N < W: the window never fully fills; drain still completes."""
     cfg, st, params, mels, opts = setup
