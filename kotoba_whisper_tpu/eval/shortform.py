@@ -43,6 +43,9 @@ def evaluate_short_form(
     output_dir: str = "eval_pipeline",
     punctuator: bool = False,
     stable_ts: bool = False,
+    dataset_config: str | None = None,
+    dataset_split: str = "test",
+    chunk_length_s: float = 15,
 ) -> dict:
     os.makedirs(output_dir, exist_ok=True)
     cache_path = os.path.join(
@@ -91,6 +94,9 @@ def evaluate_short_form(
     record = {
         "model": model_name,
         "dataset": dataset_name,
+        "dataset_config": dataset_config,
+        "dataset_split": dataset_split,
+        "chunk_length_s": chunk_length_s,
         "language": language,
         "task": task,
         "punctuator": punctuator,
@@ -102,5 +108,24 @@ def evaluate_short_form(
     }
     append_jsonl(
         os.path.join(output_dir, f"metric.{language}.{task}.jsonl"), record
+    )
+
+    # reference-schema per-utterance CSV (run_short_form_eval.py:120-128):
+    # the artifact cli/eval_diff.py diffs against /root/reference/
+    # eval_pipeline and against the committed tiny-model goldens
+    from kotoba_whisper_tpu.eval import parity_kit
+
+    ids = [examples[i].audio_id for i in keep]
+    parity_kit.write_reference_csv(
+        os.path.join(
+            output_dir,
+            parity_kit.reference_csv_name(
+                model_name, dataset_name, dataset_config=dataset_config,
+                dataset_split=dataset_split, language=language, task=task,
+                stable_ts=stable_ts or None, punctuator=punctuator or None,
+                chunk_length_s=chunk_length_s,
+            ),
+        ),
+        zip(ids, refs_norm, preds_norm, refs_raw, preds_raw),
     )
     return record
