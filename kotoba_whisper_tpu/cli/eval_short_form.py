@@ -87,7 +87,8 @@ def main(argv=None) -> None:
         from kotoba_whisper_tpu.eval.punctuator import Punctuator
         from kotoba_whisper_tpu.eval.timestamp_repair import fix_timestamps
 
-        punct = Punctuator() if arg.punctuator else None
+        # real pcs_47lang ONNX model when installed, rule-based otherwise
+        punct = Punctuator.default() if arg.punctuator else None
 
         def transcribe(audio):  # noqa: F811 — add-on composition
             out = pipe(audio)

@@ -86,6 +86,26 @@ class Punctuator:
 
         return cls(punctuate_fn=infer, guard_content=False)
 
+    @classmethod
+    def default(cls) -> "Punctuator":
+        """The v1.1/v2.1 eval default: the reference's real ONNX model
+        when the optional `punctuators` package is installed (connected
+        hosts), else the rule-based stand-in with a loud warning — so
+        out-of-the-box behavior matches the reference wherever the model
+        is actually obtainable."""
+        try:
+            return cls.from_onnx()
+        except ImportError:
+            import sys
+
+            print(
+                "warning: `punctuators` package not installed — using the "
+                "rule-based ja punctuator stand-in (install punctuators "
+                "for the reference's pcs_47lang ONNX model)",
+                file=sys.stderr,
+            )
+            return cls()
+
     def punctuate(self, chunks: list[dict]) -> list[dict]:
         """Apply to pipeline chunks with the reference's validation."""
         texts = [c["text"] for c in chunks]

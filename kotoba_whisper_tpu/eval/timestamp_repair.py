@@ -171,18 +171,91 @@ def adjust_by_silence(
     return fixed
 
 
+_SENTENCE_END = ("。", "?", "？", "!", "！", ".")
+
+
+def regroup(
+    chunks: list[dict],
+    *,
+    gap_split: float = 0.5,
+    gap_merge: float = 0.3,
+    max_merge_words: int = 3,
+) -> list[dict]:
+    """Gap/punctuation-driven segment merge/split — the counterpart of
+    stable-ts `WhisperResult.regroup(True)` (stable_timestamp.py:74),
+    whose default chain is split_by_punctuation → split_by_gap(.5) →
+    merge_by_gap(.3, max_words=3) → split_by_punctuation. The reference
+    feeds each pipeline chunk in as one word-unit (stable_timestamp.py:55
+    builds WhisperResult from per-chunk words), so units here are chunks:
+
+    - a unit ending in sentence-final punctuation (。？！?!.) ends its
+      segment;
+    - a gap ≥ gap_split seconds between units starts a new segment;
+    - adjacent segments with gap ≤ gap_merge merge back when the result
+      stays within max_merge_words units and the left segment does not
+      end a sentence (the trailing split_by_punctuation would re-split
+      it).
+
+    Output segments carry the concatenated text and the covering
+    timestamp span, in the pipeline's chunk schema."""
+    units = [
+        c for c in chunks
+        if c["timestamp"][0] is not None and c["timestamp"][1] is not None
+    ]
+    if not units:
+        return chunks
+
+    def sentence_end(text: str) -> bool:
+        t = text.rstrip()
+        return bool(t) and t.endswith(_SENTENCE_END)
+
+    segments: list[list[dict]] = [[units[0]]]
+    for prev, cur in zip(units, units[1:]):
+        gap = cur["timestamp"][0] - prev["timestamp"][1]
+        if sentence_end(prev["text"]) or gap >= gap_split:
+            segments.append([cur])
+        else:
+            segments[-1].append(cur)
+
+    merged: list[list[dict]] = [segments[0]]
+    for seg in segments[1:]:
+        last = merged[-1]
+        gap = seg[0]["timestamp"][0] - last[-1]["timestamp"][1]
+        if (
+            gap <= gap_merge
+            and len(last) + len(seg) <= max_merge_words
+            and not sentence_end(last[-1]["text"])
+        ):
+            last.extend(seg)
+        else:
+            merged.append(seg)
+
+    return [
+        {
+            "text": "".join(u["text"] for u in seg),
+            "timestamp": (seg[0]["timestamp"][0], seg[-1]["timestamp"][1]),
+        }
+        for seg in merged
+    ]
+
+
 def fix_timestamps(
     chunks: list[dict],
     audio: np.ndarray | None = None,
     sample_rate: int = 16000,
     audio_duration_s: float | None = None,
+    do_regroup: bool = True,
 ) -> list[dict]:
     """Full stable-ts add-on pipeline (stable_timestamp.py fix_timestamp):
     None-fill + monotonicity repair, then (when the waveform is available)
-    the silence-based boundary adjustment."""
+    the silence-based boundary adjustment, then the regroup pass
+    (stable_timestamp.py:73-74 runs regroup(True) after
+    adjust_by_silence)."""
     if audio is not None and audio_duration_s is None:
         audio_duration_s = len(np.asarray(audio).reshape(-1)) / sample_rate
     chunks = repair_timestamps(chunks, audio_duration_s)
     if audio is not None:
         chunks = adjust_by_silence(chunks, audio, sample_rate)
+    if do_regroup:
+        chunks = regroup(chunks)
     return chunks

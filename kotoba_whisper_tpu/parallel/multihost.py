@@ -71,6 +71,25 @@ def all_gather_host(x: np.ndarray) -> np.ndarray:
     return np.asarray(process_allgather(x)).reshape((-1,) + np.asarray(x).shape[1:])
 
 
+def pad_across_processes(
+    x: np.ndarray, axis: int = 1, pad_value: int = 0
+) -> np.ndarray:
+    """accelerate's pad_across_processes equivalent
+    (run_pseudo_labelling.py:339): pad a host-local array to the global
+    max extent along `axis` so ragged per-host decode outputs can be
+    concatenated by all_gather_host. Static-shape decode usually makes
+    this a no-op; it matters when hosts trim their outputs to local
+    content length before gathering."""
+    x = np.asarray(x)
+    sizes = all_gather_host(np.asarray([x.shape[axis]], np.int64))
+    m = int(sizes.max())
+    if x.shape[axis] == m:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, m - x.shape[axis])
+    return np.pad(x, pad, constant_values=pad_value)
+
+
 def shard_for_host(items: Sequence[T]) -> list[T]:
     """Static round-robin split of a work list across hosts — the input-
     pipeline counterpart of accelerate's sharded dataloader. Tar shards are
