@@ -154,6 +154,7 @@ def _fwd_kernel_single_int8(
     *,
     scale: float,
     pv8: bool,
+    no_max: bool = False,
 ):
     """int8 attention core (VERDICT r2 #3): q is quantized per query row
     in-kernel, K arrives pre-quantized per key row, and QK^T runs as
@@ -183,7 +184,22 @@ def _fwd_kernel_single_int8(
     col = jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
     s = s + jnp.where(col < valid_len, 0.0, NEG_INF)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
+    if no_max:
+        # Cauchy-Schwarz shift bound on the dequantized scores:
+        # |s_ij| <= (qs_i*||q8_i||) * (ks_j*||k8_j||) * scale. L2 norms —
+        # the L-inf 127^2*D bound overshoots by ~D and underflows exp.
+        qn = jnp.sqrt(jnp.sum(
+            q8.astype(jnp.float32) ** 2, axis=-1, keepdims=True
+        ))                                             # (BQ, 1)
+        k8f = k8_ref[:].astype(jnp.float32)
+        kn = jnp.sqrt(jnp.sum(k8f * k8f, axis=-1))[None, :]  # (1, T)
+        kmask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1) < valid_len,
+            ks_ref[:] * kn, 0.0,
+        )
+        m = (qs * qn) * (scale * jnp.max(kmask))       # (BQ, 1)
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if pv8:
@@ -509,7 +525,7 @@ def _flash_fwd(
             vs = jnp.ones((bh, 1, d), jnp.float32)
             v_in = v
         kernel = functools.partial(
-            _fwd_kernel_single_int8, scale=scale, pv8=pv8,
+            _fwd_kernel_single_int8, scale=scale, pv8=pv8, no_max=no_max,
         )
         in_arrays = (valid_len, q, k8, ks_row, v_in, vs)
         in_specs = [

@@ -10,9 +10,11 @@ loadable without the HF stack:
   - loads the HF `tokenizer.json` serialization (model.type == "Unigram":
     [piece, logprob] vocab + unk_id; added_tokens carry the language codes
     and specials);
-  - normalization: NFKC (NLLB's shipped normalizer is a "Precompiled"
-    charsmap whose visible effect on natural text is NMT-style NFKC; the
-    exact charsmap is not re-implemented — documented approximation);
+  - normalization: the tokenizer.json `normalizer` block is interpreted
+    natively — Precompiled charsmaps (NLLB's NMT-NFKC, decoded by
+    tokenizer/charsmap.py with HF-crate-exact semantics), Replace,
+    Prepend, Strip, Lowercase, NFKC/NFC/NFD/NFKD, and Sequence thereof;
+    files without a normalizer fall back to NFKC;
   - pre-tokenization: Metaspace (split on spaces, each word prefixed with
     the ▁ marker);
   - segmentation: Viterbi maximum-likelihood over the piece vocabulary
@@ -28,11 +30,61 @@ the BPE engine's GPT-2 goldens.
 from __future__ import annotations
 
 import json
+import re
 import unicodedata
 from dataclasses import dataclass, field
+from typing import Callable
 
 _MARKER = "▁"  # ▁
 _UNK_PENALTY = 10.0
+
+
+def _build_normalizer(spec: dict | None) -> Callable[[str], str]:
+    """Interpret a tokenizer.json `normalizer` block (the subset the
+    NLLB/M2M100 family uses). None -> NFKC (historical default)."""
+    if spec is None:
+        return lambda t: unicodedata.normalize("NFKC", t)
+    kind = spec.get("type")
+    if kind == "Sequence":
+        fns = [_build_normalizer(s) for s in spec.get("normalizers", [])]
+
+        def seq(t: str) -> str:
+            for f in fns:
+                t = f(t)
+            return t
+
+        return seq
+    if kind == "Precompiled":
+        from kotoba_whisper_tpu.tokenizer.charsmap import PrecompiledCharsmap
+
+        cm = PrecompiledCharsmap.from_base64(spec["precompiled_charsmap"])
+        return cm.normalize
+    if kind == "Replace":
+        pat = spec.get("pattern", {})
+        repl = spec.get("content", "")
+        if "String" in pat:
+            return lambda t: t.replace(pat["String"], repl)
+        rx = re.compile(pat.get("Regex", ""))
+        return lambda t: rx.sub(repl, t)
+    if kind == "Prepend":
+        pre = spec.get("prepend", "")
+        return lambda t: (pre + t) if t and not t.startswith(pre) else t
+    if kind == "Strip":
+        left, right = spec.get("strip_left", True), spec.get("strip_right", True)
+
+        def strip(t: str) -> str:
+            if left:
+                t = t.lstrip()
+            if right:
+                t = t.rstrip()
+            return t
+
+        return strip
+    if kind == "Lowercase":
+        return str.lower
+    if kind in ("NFC", "NFD", "NFKC", "NFKD"):
+        return lambda t: unicodedata.normalize(kind, t)
+    raise ValueError(f"unsupported normalizer type: {kind!r}")
 
 
 @dataclass
@@ -45,6 +97,7 @@ class UnigramTokenizer:
     # cached at load: an O(V) scan per pre-token would dominate encode
     # time on NLLB's ~256k vocab
     min_score: float = 0.0
+    normalizer: Callable[[str], str] | None = None
 
     @classmethod
     def from_tokenizer_json(cls, path: str) -> "UnigramTokenizer":
@@ -72,6 +125,7 @@ class UnigramTokenizer:
             min_score=min(
                 (s for _, s in pieces.values()), default=0.0
             ),
+            normalizer=_build_normalizer(data.get("normalizer")),
         )
 
     # -- core unigram inference ------------------------------------------------
@@ -121,7 +175,10 @@ class UnigramTokenizer:
         tokenizers oracle: every space becomes ▁, a leading ▁ is added
         unless one is already there, and the model runs per ▁-prefixed
         segment (pieces never cross segment boundaries)."""
-        text = unicodedata.normalize("NFKC", text)
+        if self.normalizer is not None:
+            text = self.normalizer(text)
+        else:
+            text = unicodedata.normalize("NFKC", text)
         if not text:
             return []
         s = text.replace(" ", _MARKER)

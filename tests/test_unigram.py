@@ -91,3 +91,38 @@ def test_roundtrip_decode(tmp_path):
     ours = UnigramTokenizer.from_tokenizer_json(path)
     s = "the lazy dog jumps"
     assert ours.decode_ids(ours.encode_text(s)) == s
+
+
+def test_precompiled_normalizer_from_tokenizer_json(tmp_path):
+    """A tokenizer.json carrying a Sequence[Precompiled, Replace]
+    normalizer (the NLLB shape: NMT-NFKC charsmap + space collapsing)
+    must drive OUR charsmap decoder and match the tokenizers oracle's
+    ids exactly — closing the NFKC-approximation gap (ADVICE r2 #1)."""
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+    from kotoba_whisper_tpu.tokenizer.charsmap import build_charsmap
+
+    blob = build_charsmap({
+        "Ｔ": "t", "Ｑ": "q", "１": "1", "…": "...", "​": "",
+    })
+    tok = Tokenizer(models.Unigram(VOCAB, unk_id=0))
+    tok.normalizer = normalizers.Sequence([
+        normalizers.Precompiled(blob),
+        normalizers.Replace(tokenizers.Regex(" {2,}"), " "),
+    ])
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="always"
+    )
+    path = str(tmp_path / "tokenizer.json")
+    tok.save(path)
+
+    ours = UnigramTokenizer.from_tokenizer_json(path)
+    cases = [
+        "Ｔhe Ｑuick fox",      # charsmap-mapped fullwidth letters
+        "the​quick",            # zero-width space removed
+        "jumps  over   dog",    # Replace collapses runs of spaces
+        "…the dog１",
+        "plain the quick",
+    ]
+    for text in cases:
+        assert ours.encode_text(text) == tok.encode(text).ids, text
