@@ -90,13 +90,17 @@ def main() -> None:
                 attn_impl="pallas", stop_at=jnp.asarray(stops_b, jnp.int32),
             )
 
-        jax.block_until_ready(
-            one_batch(mel_all(audio[:b]), stops[:b])
-        )  # compile
+        def fence(x):
+            # remote plugin: block_until_ready does not fence device-
+            # resident-input programs (DESIGN.md calibration note); a
+            # readback of one element does
+            return int(np.asarray(x[0, -1]))
+
+        fence(one_batch(mel_all(audio[:b]), stops[:b]))  # compile
         t0 = time.perf_counter()
         mels = mel_all(audio)
         for i in range(0, n, b):
-            jax.block_until_ready(one_batch(mels[i : i + b], stops[i : i + b]))
+            fence(one_batch(mels[i : i + b], stops[i : i + b]))
         dt = time.perf_counter() - t0
         print(json.dumps({
             "config": "lockstep-real",
@@ -151,11 +155,15 @@ def main() -> None:
             ((int(stops_b[i : i + g].max()) + 15) // 16) * 16
             for i in range(0, nb, g)
         ]
+
+        def bfence(out):
+            return int(np.asarray(out[0][0, -1]))  # readback fence
+
         for t in sorted(set(batch_len)):
-            jax.block_until_ready(one_beam_batch(mels[:g], t))
+            bfence(one_beam_batch(mels[:g], t))
         t0 = time.perf_counter()
         for i, t in zip(range(0, nb, g), batch_len):
-            jax.block_until_ready(one_beam_batch(mels[i : i + g], t))
+            bfence(one_beam_batch(mels[i : i + g], t))
         dt = time.perf_counter() - t0
         print(json.dumps({
             "config": "lockstep-beam",
