@@ -122,25 +122,40 @@ def _empty_state(
 
 @partial(
     jax.jit,
-    donate_argnums=(2,),
-    static_argnames=("cfg", "opts", "compute_dtype", "attn_impl", "kv_dtype"),
+    static_argnames=("cfg", "compute_dtype", "attn_impl"),
 )
-def _encode_refill(
-    params, cfg: WhisperConfig, state: StreamState, mel: jax.Array,
-    pool_tokens, pool_stop, pool_utt, pool_valid, *,
-    opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
-) -> StreamState:
-    """Encode an E-row pool batch and scatter it into the window's free
-    rows as ONE program: the pool's cross-KV lives only as an in-program
-    temporary (a persistent pool buffer between two dispatches cost ~2 GB
-    of HBM and boxed the feasible encode batch at E=16 on a v5e), and the
-    window state is donated so the scatter updates it in place. The pool
-    cache is built with self-capacity 1 — refilled rows replay their
-    prompt through the shared ring, so pool self-KV is never read."""
-    enc = whisper.encode(
+def _encode_only(params, cfg: WhisperConfig, mel: jax.Array, *,
+                 compute_dtype, attn_impl) -> jax.Array:
+    """Encoder pass for one pool slice. Split from the refill scatter so
+    the host can dispatch it SPECULATIVELY, before syncing the running
+    round: on remote-attached chips the sync round-trip costs ~100 ms of
+    device idle per round (KWT_STREAM_TRACE attribution, round 3); a
+    pre-queued encode keeps the chip busy through it. The persistent
+    output is only the (E, 1500, D) encoder state (~61 MB at E=16 bf16) —
+    the multi-GB cross-KV stays an in-program temporary of the refill."""
+    return whisper.encode(
         params, cfg, mel.astype(compute_dtype),
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(2,),
+    static_argnames=("cfg", "opts", "compute_dtype", "attn_impl", "kv_dtype"),
+)
+def _refill_from_enc(
+    params, cfg: WhisperConfig, state: StreamState, enc: jax.Array,
+    pool_tokens, pool_stop, pool_utt, pool_valid, *,
+    opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
+) -> StreamState:
+    """Project an encoded pool slice to cross-KV and scatter it into the
+    window's free rows as one donated program: the pool's cross-KV lives
+    only as an in-program temporary (a persistent pool buffer between two
+    dispatches cost ~2 GB of HBM and boxed the feasible encode batch at
+    E=16 on a v5e). The pool cache is built with self-capacity 1 —
+    refilled rows replay their prompt through the shared ring, so pool
+    self-KV is never read."""
     pool_cache = whisper.init_cache(
         params, cfg, enc, capacity=1,
         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
@@ -335,10 +350,10 @@ def generate_greedy_streaming(
         slab_size = max(stream.source_windows - stream.source_windows % e, e)
         mels_dev, slab_lo = jnp.asarray(mels_host[:slab_size]), 0
 
-    def refill_once(state):
-        nonlocal next_utt, mels_dev, slab_lo
-        lo = next_utt
-        hi = min(lo + e, n)
+    pending: tuple[int, jax.Array] | None = None  # (lo, enc) prefetch
+
+    def encode_slice(lo):
+        nonlocal mels_dev, slab_lo
         if lo - slab_lo >= slab_size:  # advance to the next source slab
             slab_lo = lo - lo % slab_size
             mels_dev = jnp.asarray(
@@ -347,6 +362,20 @@ def generate_greedy_streaming(
         batch = jax.lax.dynamic_slice_in_dim(
             mels_dev, lo - slab_lo, e, axis=0
         )
+        return _encode_only(
+            params, cfg, batch,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
+
+    def refill_once(state):
+        nonlocal next_utt, pending
+        lo = next_utt
+        hi = min(lo + e, n)
+        if pending is not None and pending[0] == lo:
+            enc = pending[1]
+            pending = None
+        else:
+            enc = encode_slice(lo)
         valid = np.zeros((e,), bool)
         valid[: hi - lo] = True
         stops = np.full((e,), opts.max_length, np.int64)
@@ -354,8 +383,8 @@ def generate_greedy_streaming(
         utts = np.full((e,), -1, np.int64)
         utts[: hi - lo] = np.arange(lo, hi)
         next_utt = hi
-        return _encode_refill(
-            params, cfg, state, batch, pool_tokens,
+        return _refill_from_enc(
+            params, cfg, state, enc, pool_tokens,
             jnp.asarray(stops, jnp.int32), jnp.asarray(utts, jnp.int32),
             jnp.asarray(valid), opts=opts, **kw,
         )
@@ -390,6 +419,12 @@ def generate_greedy_streaming(
             jnp.asarray(want, jnp.int32),
             n_steps=stream.steps_per_round, **kw,
         )
+        # speculative encode of the next pool slice, queued on-device
+        # BEHIND the round: keeps the chip busy through the host sync
+        # round trip below (refill order is deterministic, so the slice
+        # is always the one the next refill will want)
+        if next_utt < n and pending is None:
+            pending = (next_utt, timed("refill", encode_slice, next_utt))
         tokens, finished, active, utt_id = timed(
             "sync", jax.device_get,
             (state.tokens, state.finished, state.active, state.utt_id),

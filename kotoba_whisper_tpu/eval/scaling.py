@@ -45,14 +45,23 @@ def scaling_report(
     base_rate = None
     for n in device_counts:
         mesh = build_mesh(MeshConfig(data=n, model=1), all_devices[:n])
+
+        def fence(out):
+            # some remote-attached TPU runtimes do not fence device-
+            # resident-input programs on block_until_ready alone (CLAUDE.md
+            # / DESIGN.md calibration note): read one element back
+            leaf = jax.tree.leaves(out)[0]
+            np.asarray(leaf).ravel()[:1]
+            return out
+
         with mesh:
             fn = make_pipeline(mesh)
             batch = sharded.place_batch(mesh, make_batch(n))
-            jax.block_until_ready(fn(batch))  # compile
+            fence(fn(batch))  # compile
             times = []
             for _ in range(n_trials):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(batch))
+                fence(fn(batch))
                 times.append(time.perf_counter() - t0)
             dt = min(times)
         rows = jax.tree.leaves(batch)[0].shape[0]
