@@ -21,12 +21,14 @@ per-step work is IDENTICAL in structure to the lockstep loop:
   mask, so the scrambled physical slot order is exact. This replaces the
   round-1 per-row scatter layout, whose per-step scatters at per-row
   positions dominated the step cost (tools/stream_exp.py attribution);
-- a refilled row REPLAYS its prompt through the shared step loop (its
-  fed token is the stored prompt token until `count` reaches the prompt
-  length; sampled tokens take over after). Replay costs ~|prompt| extra
-  steps per utterance but removes the separate prefill program AND the
-  per-refill self-KV scatter entirely — refill only scatters the
-  cross-KV rows and resets per-row metadata;
+- a refilled row's prompt is PREFILLED inside the refill program (one
+  multi-token pass over the E-row pool; the self-KV prefix is scattered
+  at the `count` ring slots trailing the current shared slot) — replacing
+  the round-2 per-step replay, which cost ~|prompt| whole-window steps
+  per refill. The step loop's replay path remains for prompt_len == 1;
+- the NEXT pool slice's encoder pass is dispatched speculatively behind
+  the running round, before the host sync (refill order is
+  deterministic), hiding the remote-tunnel round-trip idle;
 - `_steps` runs K decode steps per dispatch (one host sync per round,
   not per token);
 - the host loop only: harvests finished rows, feeds the next E raw mel
@@ -149,29 +151,41 @@ def _refill_from_enc(
     pool_tokens, pool_stop, pool_utt, pool_valid, *,
     opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
 ) -> StreamState:
-    """Project an encoded pool slice to cross-KV and scatter it into the
-    window's free rows as one donated program: the pool's cross-KV lives
-    only as an in-program temporary (a persistent pool buffer between two
-    dispatches cost ~2 GB of HBM and boxed the feasible encode batch at
-    E=16 on a v5e). The pool cache is built with self-capacity 1 —
-    refilled rows replay their prompt through the shared ring, so pool
-    self-KV is never read."""
+    """Project an encoded pool slice to cross-KV, PREFILL the prompt
+    (p-1 tokens in one multi-token pass — replacing per-step prompt
+    replay, which cost |prompt| whole-window steps per refill), and
+    scatter cross-KV + self-KV prefix into the window's free rows as one
+    donated program. The pool's cross-KV lives only as an in-program
+    temporary (a persistent pool buffer between two dispatches cost
+    ~2 GB of HBM and boxed the feasible encode batch at E=16 on a v5e).
+    The self-KV prefix lands at the `count` ring slots trailing the
+    current shared slot, exactly as decode/streaming_beam.py does."""
+    p = len(opts.prompt_ids)
     pool_cache = whisper.init_cache(
-        params, cfg, enc, capacity=1,
+        params, cfg, enc, capacity=max(p - 1, 1),
         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
+    if p > 1:
+        _, pool_cache = whisper.decode(
+            params, cfg, pool_tokens[:, : p - 1], cache=pool_cache,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
     return _refill(state, pool_tokens, pool_cache,
-                   pool_stop, pool_utt, pool_valid)
+                   pool_stop, pool_utt, pool_valid, prompt_len=p)
 
 
 def _refill(state: StreamState, pool_tokens, pool_cache,
-            pool_stop, pool_utt, pool_valid) -> StreamState:
-    """Scatter an E-row pool batch's CROSS-KV into the window's free rows
-    and reset their metadata (count 0 => prompt replay starts). The caller
+            pool_stop, pool_utt, pool_valid,
+            prompt_len: int = 1) -> StreamState:
+    """Scatter an E-row pool batch's cross-KV + prefilled self-KV prefix
+    into the window's free rows and reset their metadata. The caller
     guarantees >= E rows are free (finished or inactive). Self-KV rows are
-    left stale: the ring age mask hides them (count resets to 0).
-    Traced inside _encode_refill (not a standalone dispatch)."""
+    left stale beyond the scattered prompt prefix: the ring age mask
+    hides them (count resets to prompt_len-1, whose slots trail the
+    current shared ring slot). Traced inside _refill_from_enc (not a
+    standalone dispatch)."""
     e = pool_stop.shape[0]
+    p = prompt_len
     free = state.finished | ~state.active
     # free rows first, stable; take E targets
     idx = jnp.argsort(~free, stable=True)[:e]
@@ -183,10 +197,20 @@ def _refill(state: StreamState, pool_tokens, pool_cache,
         return dst.at[:, idx].set(src)
 
     cache = state.cache
+    cap = state.tokens.shape[1]
+    # self-KV prefill prefix: token i (i < p-1) belongs at ring distance
+    # p-1-i behind the NEXT write slot (state.ring)
+    slots = jnp.mod(state.ring - (p - 1) + jnp.arange(max(p - 1, 1)), cap)
+
+    def put_self(dst, src):
+        return dst.at[:, idx[:, None], slots[None, :]].set(
+            src[:, :, : slots.shape[0]].astype(dst.dtype)
+        )
+
     new_cache = cache._replace(
         cross_k=put(cache.cross_k, pool_cache.cross_k),
         cross_v=put(cache.cross_v, pool_cache.cross_v),
-        length=cache.length.at[idx].set(0),
+        length=cache.length.at[idx].set(p - 1),
         cross_k_scale=(
             None if cache.cross_k_scale is None
             else put(cache.cross_k_scale, pool_cache.cross_k_scale)
@@ -196,6 +220,19 @@ def _refill(state: StreamState, pool_tokens, pool_cache,
             else put(cache.cross_v_scale, pool_cache.cross_v_scale)
         ),
     )
+    if p > 1:
+        new_cache = new_cache._replace(
+            self_k=put_self(new_cache.self_k, pool_cache.self_k),
+            self_v=put_self(new_cache.self_v, pool_cache.self_v),
+            self_k_scale=(
+                None if new_cache.self_k_scale is None
+                else put_self(new_cache.self_k_scale, pool_cache.self_k_scale)
+            ),
+            self_v_scale=(
+                None if new_cache.self_v_scale is None
+                else put_self(new_cache.self_v_scale, pool_cache.self_v_scale)
+            ),
+        )
     return StreamState(
         tokens=state.tokens.at[idx].set(pool_tokens),
         finished=state.finished.at[idx].set(~pool_valid),
