@@ -38,7 +38,7 @@ def setup():
     return cfg, st, params, mels, opts
 
 
-@pytest.mark.parametrize("kv_dtype", ["compute", "int8"])
+@pytest.mark.parametrize("kv_dtype", ["compute", "int8", "int4"])
 def test_streaming_beam_matches_lockstep(setup, kv_dtype):
     """layout="scatter" (lockstep slot order): bitwise tokens AND scores
     for the compute-dtype cache. int8 KV: tokens exact, scores to f32 ulp
@@ -64,6 +64,24 @@ def test_streaming_beam_matches_lockstep(setup, kv_dtype):
         np.testing.assert_array_equal(out_sc, np.asarray(ref_sc))
     else:
         np.testing.assert_allclose(out_sc, np.asarray(ref_sc), atol=1e-5)
+
+
+def test_streaming_beam_int4_ring(setup):
+    """int4 KV on the fast ring layout (the wide-window HBM config the
+    on-chip beam stream uses): tokens exact vs lockstep int4."""
+    cfg, st, params, mels, opts = setup
+    k = 3
+    ref_tok, _ = generate_beam(
+        params, cfg, jnp.asarray(mels), opts, st, num_beams=k,
+        kv_dtype="int4",
+    )
+    out_tok, _ = generate_beam_streaming(
+        params, cfg, mels, opts, st, kv_dtype="int4",
+        stream=BeamStreamConfig(
+            groups=3, num_beams=k, encode_batch=2, steps_per_round=4
+        ),
+    )
+    np.testing.assert_array_equal(out_tok, np.asarray(ref_tok))
 
 
 def test_streaming_beam_ring_layout(setup):
