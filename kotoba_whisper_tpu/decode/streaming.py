@@ -151,88 +151,158 @@ def _refill_from_enc(
     pool_tokens, pool_stop, pool_utt, pool_valid, *,
     opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
 ) -> StreamState:
-    """Project an encoded pool slice to cross-KV, PREFILL the prompt
-    (p-1 tokens in one multi-token pass — replacing per-step prompt
-    replay, which cost |prompt| whole-window steps per refill), and
-    scatter cross-KV + self-KV prefix into the window's free rows as one
-    donated program. The pool's cross-KV lives only as an in-program
-    temporary (a persistent pool buffer between two dispatches cost
-    ~2 GB of HBM and boxed the feasible encode batch at E=16 on a v5e).
-    The self-KV prefix lands at the `count` ring slots trailing the
-    current shared slot, exactly as decode/streaming_beam.py does."""
+    """Prompt prefill + cross-KV projection + quantize + scatter, FUSED
+    per layer under one lax.scan over the stacked decoder layers.
+
+    Why fused: building the whole pool cache first (init_cache) holds the
+    E-row quantized cross-KV (~2 GB at E=16, large-v3 int8) as a live
+    buffer next to the donated window state — with the speculative encode
+    queued behind the running round, that transient tipped a 16 GB v5e
+    over (measured OOM, round 3). Here each scan step computes ONE
+    layer's cross K/V from the encoder states, runs the prompt block
+    through that layer (causal self + cross + MLP — replacing the
+    round-2 per-step prompt replay, ~|prompt| whole-window steps per
+    refill), quantizes, and scatters straight into the donated window
+    cache: peak extra memory is one layer's full-precision K/V
+    (~120 MB), not the whole pool. The self-KV prefix lands at the
+    `count` ring slots trailing the current shared slot (the age-mask
+    convention decode/streaming_beam.py shares)."""
     p = len(opts.prompt_ids)
-    pool_cache = whisper.init_cache(
-        params, cfg, enc, capacity=max(p - 1, 1),
-        compute_dtype=compute_dtype, kv_dtype=kv_dtype,
-    )
-    if p > 1:
-        _, pool_cache = whisper.decode(
-            params, cfg, pool_tokens[:, : p - 1], cache=pool_cache,
-            compute_dtype=compute_dtype, attn_impl=attn_impl,
-        )
-    return _refill(state, pool_tokens, pool_cache,
-                   pool_stop, pool_utt, pool_valid, prompt_len=p)
-
-
-def _refill(state: StreamState, pool_tokens, pool_cache,
-            pool_stop, pool_utt, pool_valid,
-            prompt_len: int = 1) -> StreamState:
-    """Scatter an E-row pool batch's cross-KV + prefilled self-KV prefix
-    into the window's free rows and reset their metadata. The caller
-    guarantees >= E rows are free (finished or inactive). Self-KV rows are
-    left stale beyond the scattered prompt prefix: the ring age mask
-    hides them (count resets to prompt_len-1, whose slots trail the
-    current shared ring slot). Traced inside _refill_from_enc (not a
-    standalone dispatch)."""
-    e = pool_stop.shape[0]
-    p = prompt_len
-    free = state.finished | ~state.active
-    # free rows first, stable; take E targets
-    idx = jnp.argsort(~free, stable=True)[:e]
-
-    def put(dst, src):
-        # direct scatter on the batch axis (axis 1 of (L, W, T, D)) — NO
-        # moveaxis: a transpose of the cross-KV would materialize multi-GB
-        # copies per refill and dominate the decode (measured on-chip)
-        return dst.at[:, idx].set(src)
-
-    cache = state.cache
+    e = enc.shape[0]
+    dec = params["decoder"]
+    n_heads = cfg.decoder_attention_heads
+    eps = cfg.layer_norm_eps
     cap = state.tokens.shape[1]
-    # self-KV prefill prefix: token i (i < p-1) belongs at ring distance
-    # p-1-i behind the NEXT write slot (state.ring)
+    enc = enc.astype(compute_dtype)
+
+    from kotoba_whisper_tpu.models.whisper import (
+        dense,
+        layer_norm,
+        merge_heads,
+        quantize_kv_heads,
+        quantize_kv_rows,
+        split_heads,
+    )
+    from kotoba_whisper_tpu.ops.attention import attention
+
+    free = state.finished | ~state.active
+    idx = jnp.argsort(~free, stable=True)[:e]
     slots = jnp.mod(state.ring - (p - 1) + jnp.arange(max(p - 1, 1)), cap)
 
-    def put_self(dst, src):
-        return dst.at[:, idx[:, None], slots[None, :]].set(
-            src[:, :, : slots.shape[0]].astype(dst.dtype)
-        )
+    quant = kv_dtype in ("int8", "int4")
 
-    new_cache = cache._replace(
-        cross_k=put(cache.cross_k, pool_cache.cross_k),
-        cross_v=put(cache.cross_v, pool_cache.cross_v),
-        length=cache.length.at[idx].set(p - 1),
-        cross_k_scale=(
-            None if cache.cross_k_scale is None
-            else put(cache.cross_k_scale, pool_cache.cross_k_scale)
-        ),
-        cross_v_scale=(
-            None if cache.cross_v_scale is None
-            else put(cache.cross_v_scale, pool_cache.cross_v_scale)
-        ),
-    )
+    def q_cross(v):
+        if kv_dtype == "int4":
+            return quantize_kv_heads(v, n_heads, jnp.int4)
+        return quantize_kv_rows(v)
+
+    def q_self(v):
+        if kv_dtype == "int4":  # int4 mode keeps self at int8, same scales
+            return quantize_kv_heads(v, n_heads, jnp.int8)
+        return quantize_kv_rows(v)
+
     if p > 1:
-        new_cache = new_cache._replace(
-            self_k=put_self(new_cache.self_k, pool_cache.self_k),
-            self_v=put_self(new_cache.self_v, pool_cache.self_v),
-            self_k_scale=(
-                None if new_cache.self_k_scale is None
-                else put_self(new_cache.self_k_scale, pool_cache.self_k_scale)
-            ),
-            self_v_scale=(
-                None if new_cache.self_v_scale is None
-                else put_self(new_cache.self_v_scale, pool_cache.self_v_scale)
-            ),
-        )
+        ids = pool_tokens[:, : p - 1]
+        x0 = dec["embed_tokens"]["embedding"].astype(compute_dtype)[ids]
+        x0 = x0 + dec["pos_embedding"].astype(compute_dtype)[None, : p - 1]
+    else:
+        x0 = jnp.zeros((e, 1, cfg.d_model), compute_dtype)  # unused
+
+    cache = state.cache
+
+    def body(carry, xs):
+        lp, l = xs
+        x, sk, sv, ck, cv, sks, svs, cks, cvs = carry
+
+        if p > 1:
+            h = layer_norm(lp["self_attn_layer_norm"], x, eps)
+            sa = lp["self_attn"]
+            if "qkv_proj" in sa:
+                qkv = dense(sa["qkv_proj"], h)
+                q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = dense(sa["q_proj"], h)
+                k_new = dense(sa["k_proj"], h)
+                v_new = dense(sa["v_proj"], h)
+            o = attention(
+                split_heads(q, n_heads), split_heads(k_new, n_heads),
+                split_heads(v_new, n_heads), causal=True,
+            )
+            x = x + dense(sa["out_proj"], merge_heads(o))
+
+        ea = lp["encoder_attn"]
+        if "kv_proj" in ea:
+            kv = dense(ea["kv_proj"], enc)
+            ck_full, cv_full = jnp.split(kv, 2, axis=-1)
+        else:
+            ck_full = dense(ea["k_proj"], enc)
+            cv_full = dense(ea["v_proj"], enc)
+
+        if p > 1:
+            h = layer_norm(lp["encoder_attn_layer_norm"], x, eps)
+            q2 = dense(ea["q_proj"], h)
+            o2 = attention(
+                split_heads(q2, n_heads), split_heads(ck_full, n_heads),
+                split_heads(cv_full, n_heads),
+            )
+            x = x + dense(ea["out_proj"], merge_heads(o2))
+            h = layer_norm(lp["final_layer_norm"], x, eps)
+            x = x + dense(
+                lp["fc2"], jax.nn.gelu(dense(lp["fc1"], h), approximate=False)
+            )
+
+        # quantize + scatter this layer's KV into the donated window cache
+        if quant:
+            ckq, cks_l = q_cross(ck_full)
+            cvq, cvs_l = q_cross(cv_full)
+            ck = ck.at[l, idx].set(ckq)
+            cv = cv.at[l, idx].set(cvq)
+            cks = cks.at[l, idx].set(cks_l.astype(cks.dtype))
+            cvs = cvs.at[l, idx].set(cvs_l.astype(cvs.dtype))
+            if p > 1:
+                skq, sks_l = q_self(k_new)
+                svq, svs_l = q_self(v_new)
+                sk = sk.at[l, idx[:, None], slots[None, :]].set(skq)
+                sv = sv.at[l, idx[:, None], slots[None, :]].set(svq)
+                sks = sks.at[l, idx[:, None], slots[None, :]].set(
+                    sks_l.astype(sks.dtype)
+                )
+                svs = svs.at[l, idx[:, None], slots[None, :]].set(
+                    svs_l.astype(svs.dtype)
+                )
+        else:
+            ck = ck.at[l, idx].set(ck_full.astype(ck.dtype))
+            cv = cv.at[l, idx].set(cv_full.astype(cv.dtype))
+            if p > 1:
+                sk = sk.at[l, idx[:, None], slots[None, :]].set(
+                    k_new.astype(sk.dtype)
+                )
+                sv = sv.at[l, idx[:, None], slots[None, :]].set(
+                    v_new.astype(sv.dtype)
+                )
+        return (x, sk, sv, ck, cv, sks, svs, cks, cvs), None
+
+    # dummy scale carries when unquantized (scan carries must be arrays)
+    z = jnp.zeros((cfg.decoder_layers,), jnp.float32)
+    carry0 = (
+        x0, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v,
+        cache.self_k_scale if quant else z,
+        cache.self_v_scale if quant else z,
+        cache.cross_k_scale if quant else z,
+        cache.cross_v_scale if quant else z,
+    )
+    (_, sk, sv, ck, cv, sks, svs, cks, cvs), _ = jax.lax.scan(
+        body, carry0,
+        (dec["layers"], jnp.arange(cfg.decoder_layers)),
+    )
+    new_cache = cache._replace(
+        self_k=sk, self_v=sv, cross_k=ck, cross_v=cv,
+        length=cache.length.at[idx].set(p - 1),
+        self_k_scale=sks if quant else None,
+        self_v_scale=svs if quant else None,
+        cross_k_scale=cks if quant else None,
+        cross_v_scale=cvs if quant else None,
+    )
     return StreamState(
         tokens=state.tokens.at[idx].set(pool_tokens),
         finished=state.finished.at[idx].set(~pool_valid),
@@ -250,7 +320,7 @@ def _refill(state: StreamState, pool_tokens, pool_cache,
         "cfg", "opts", "special", "n_steps",
         "compute_dtype", "attn_impl", "kv_dtype",
     ),
-    donate_argnums=(2,),  # state: in-place KV updates (see _refill note)
+    donate_argnums=(2,),  # state: in-place KV updates
 )
 def _steps(
     params, cfg: WhisperConfig, state: StreamState, opts: GenerateOptions,
