@@ -284,6 +284,10 @@ def test_pseudo_label_dp_and_streaming_match(dataset_dir, tmp_path):
     # jsonl) must produce a label for every utterance
     q = run(f"{tmp_path}/int8", ["--gemm_dtype", "int8"])
     assert set(q) == set(base)
+    # w8a8 composes with continuous batching (the fused refill scan
+    # projects cross-KV through the quantized dense path)
+    qs = run(f"{tmp_path}/int8stream", ["--gemm_dtype", "int8", "--streaming"])
+    assert qs == q
 
 
 @pytest.mark.slow
