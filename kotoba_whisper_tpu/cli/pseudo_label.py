@@ -259,20 +259,51 @@ def main(argv=None) -> None:
 
     def rows_streaming(writer):
         """Continuous batching: accumulate a super-batch of utterances,
-        stream-decode it with row refill (throughput tracks the mean label
-        length), emit records in input order."""
+        stream-decode it with row (greedy) or beam-group refill
+        (throughput tracks the mean termination length), emit records in
+        input order."""
         nonlocal n_done
         from kotoba_whisper_tpu.decode.streaming import (
             StreamConfig,
             generate_greedy_streaming,
         )
-
-        scfg = StreamConfig(
-            batch=arg.batch_size,
-            encode_batch=min(16, arg.batch_size),
-            steps_per_round=8,
+        from kotoba_whisper_tpu.decode.streaming_beam import (
+            BeamStreamConfig,
+            generate_beam_streaming,
         )
-        super_n = arg.batch_size * 4
+
+        if arg.num_beams > 1:
+            groups = max(arg.batch_size // arg.num_beams, 1)
+            bcfg = BeamStreamConfig(
+                groups=groups,
+                num_beams=arg.num_beams,
+                encode_batch=max(min(groups // 2, 8), 1),
+                steps_per_round=8,
+            )
+            encode_batch = bcfg.encode_batch
+            super_n = groups * 4
+        else:
+            scfg = StreamConfig(
+                batch=arg.batch_size,
+                encode_batch=min(16, arg.batch_size),
+                steps_per_round=8,
+            )
+            encode_batch = scfg.encode_batch
+            super_n = arg.batch_size * 4
+
+        def decode_stream(mels, opts):
+            if arg.num_beams > 1:
+                toks, _ = generate_beam_streaming(
+                    params, cfg, mels, opts, tok.special,
+                    compute_dtype=compute_dtype, attn_impl=attn_impl,
+                    kv_dtype=arg.kv_dtype, stream=bcfg,
+                )
+                return toks
+            return generate_greedy_streaming(
+                params, cfg, mels, opts, tok.special,
+                compute_dtype=compute_dtype, attn_impl=attn_impl,
+                kv_dtype=arg.kv_dtype, stream=scfg,
+            )
 
         def flush(buf):
             nonlocal n_done
@@ -284,14 +315,10 @@ def main(argv=None) -> None:
                     ),
                     np.float32,
                 )
-                for chunk in common.batched(buf, scfg.encode_batch)
+                for chunk in common.batched(buf, encode_batch)
             ])
             per_task = {
-                key: generate_greedy_streaming(
-                    params, cfg, mels, opts, tok.special,
-                    compute_dtype=compute_dtype, attn_impl=attn_impl,
-                    kv_dtype=arg.kv_dtype, stream=scfg,
-                )
+                key: decode_stream(mels, opts)
                 for key, opts in task_opts.items()
             }
             for bi, (u, wav, _) in enumerate(buf):
@@ -316,15 +343,15 @@ def main(argv=None) -> None:
         with open(csv_path, "w", newline="") as cf:
             writer = csv.writer(cf)
             writer.writerow(["file_id", "whisper_transcript"])
-            if arg.streaming and arg.num_beams == 1 and mesh is None:
+            if arg.streaming and mesh is None:
                 yield from rows_streaming(writer)
             else:
                 if arg.streaming:
                     import sys
 
                     print(
-                        "warning: --streaming needs greedy decode on a "
-                        "single device; using lockstep batching",
+                        "warning: --streaming needs a single device; "
+                        "using lockstep batching",
                         file=sys.stderr,
                     )
                 yield from rows_lockstep(writer)

@@ -142,23 +142,22 @@ def _empty_state(
     ),
 )
 def _encode_refill(
-    params, cfg: WhisperConfig, state: BeamStreamState, mel: jax.Array,
+    params, cfg: WhisperConfig, state: BeamStreamState, enc: jax.Array,
     pool_tokens, pool_stop, pool_utt, pool_valid, *,
     opts: GenerateOptions, k: int, use_ring: bool,
     compute_dtype, attn_impl, kv_dtype,
 ) -> BeamStreamState:
-    """Encode E utterances, expand each over K beams, PREFILL the prompt
+    """Expand E encoded utterances over K beams, PREFILL the prompt
     (p-1 tokens, one multi-token pass — the same program shape as
     decode/beam.py's prefill, which keeps scatter-layout scores bitwise
     equal to lockstep AND skips p replay steps per refill), and scatter
     cross-KV + self-KV prefix into the window's free groups as one donated
-    program (pool-as-temporary rationale as streaming._encode_refill)."""
-    e = mel.shape[0]
+    program. `enc` is the encoder output of streaming._encode_only,
+    dispatched speculatively by the host loop (see decode/streaming.py —
+    it hides the remote-tunnel sync idle)."""
+    e = enc.shape[0]
     p = len(opts.prompt_ids)
-    enc = whisper.encode(
-        params, cfg, mel.astype(compute_dtype),
-        compute_dtype=compute_dtype, attn_impl=attn_impl,
-    )
+    enc = enc.astype(compute_dtype)
     enc_beams = jnp.broadcast_to(
         enc[:, None], (e, k) + enc.shape[1:]
     ).reshape((e * k,) + enc.shape[1:])
@@ -461,16 +460,32 @@ def generate_beam_streaming(
         slab_size = max(stream.source_windows - stream.source_windows % e, e)
         mels_dev, slab_lo = jnp.asarray(mels_host[:slab_size]), 0
 
-    def refill_once(state):
-        nonlocal next_utt, mels_dev, slab_lo
-        lo = next_utt
-        hi = min(lo + e, n)
+    from kotoba_whisper_tpu.decode.streaming import _encode_only
+
+    pending: tuple[int, jax.Array] | None = None
+
+    def encode_slice(lo):
+        nonlocal mels_dev, slab_lo
         if lo - slab_lo >= slab_size:
             slab_lo = lo - lo % slab_size
             mels_dev = jnp.asarray(mels_host[slab_lo : slab_lo + slab_size])
         batch = jax.lax.dynamic_slice_in_dim(
             mels_dev, lo - slab_lo, e, axis=0
         )
+        return _encode_only(
+            params, cfg, batch,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
+
+    def refill_once(state):
+        nonlocal next_utt, pending
+        lo = next_utt
+        hi = min(lo + e, n)
+        if pending is not None and pending[0] == lo:
+            enc = pending[1]
+            pending = None
+        else:
+            enc = encode_slice(lo)
         valid = np.zeros((e,), bool)
         valid[: hi - lo] = True
         stops = np.full((e,), opts.max_length, np.int64)
@@ -479,7 +494,7 @@ def generate_beam_streaming(
         utts[: hi - lo] = np.arange(lo, hi)
         next_utt = hi
         return _encode_refill(
-            params, cfg, state, batch, pool_tokens,
+            params, cfg, state, enc, pool_tokens,
             jnp.asarray(stops, jnp.int32), jnp.asarray(utts, jnp.int32),
             jnp.asarray(valid), opts=opts, k=k,
             use_ring=stream.layout == "ring", **kw,
@@ -499,6 +514,9 @@ def generate_beam_streaming(
             length_penalty=stream.length_penalty,
             use_ring=stream.layout == "ring", **kw,
         )
+        # speculative encode behind the round (see decode/streaming.py)
+        if next_utt < n and pending is None:
+            pending = (next_utt, encode_slice(next_utt))
         (done, active, utt_id, fin_tokens, fin_scores, fin_exists,
          alive_logp, tokens, length) = jax.device_get((
             state.done, state.active, state.utt_id, state.fin_tokens,

@@ -288,6 +288,12 @@ def test_pseudo_label_dp_and_streaming_match(dataset_dir, tmp_path):
     # projects cross-KV through the quantized dense path)
     qs = run(f"{tmp_path}/int8stream", ["--gemm_dtype", "int8", "--streaming"])
     assert qs == q
+    # beam pseudo-labelling through the streaming (beam-group) path
+    beam = run(f"{tmp_path}/beam", ["--num_beams", "2"])
+    beam_stream = run(
+        f"{tmp_path}/beam_stream", ["--num_beams", "2", "--streaming"]
+    )
+    assert beam == beam_stream
 
 
 @pytest.mark.slow
