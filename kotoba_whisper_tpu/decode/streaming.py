@@ -60,6 +60,14 @@ from kotoba_whisper_tpu.models import whisper
 class StreamConfig:
     batch: int = 48            # decode window rows (W)
     encode_batch: int = 16     # utterances encoded per refill (E)
+    prefetch: bool = False     # speculative next-slice encode, dispatched
+    # behind the running round to hide the host-sync round trip. OFF by
+    # default: it hands the encoder output between two executables, and
+    # remote-attached plugins that cannot relayout cross-program arrays
+    # fail on that handoff (observed RecursionError/OOM on the axon
+    # plugin even with a 2-D canonical-layout handoff); the fused
+    # encode+refill program is the safe default. Turn on for standard
+    # TPU hosts.
     source_windows: int = 256  # max mel windows resident on device at
     # once when the caller passes a HOST (numpy) mel stream: the source is
     # uploaded in slabs of this many windows so arbitrary-N streams cannot
@@ -134,25 +142,28 @@ def _encode_only(params, cfg: WhisperConfig, mel: jax.Array, *,
     device idle per round (KWT_STREAM_TRACE attribution, round 3); a
     pre-queued encode keeps the chip busy through it. The persistent
     output is only the (E, 1500, D) encoder state (~61 MB at E=16 bf16) —
-    the multi-GB cross-KV stays an in-program temporary of the refill."""
-    return whisper.encode(
+    the multi-GB cross-KV stays an in-program temporary of the refill.
+
+    Returned FLATTENED to (E*T, D): a cross-program array handoff whose
+    producer chose a non-default layout makes the consumer's dispatch
+    relayout it, which this environment's remote plugin cannot do
+    (observed RecursionError/OOM); 2-D matmul-shaped outputs get the
+    default layout. The refill reshapes back."""
+    enc = whisper.encode(
         params, cfg, mel.astype(compute_dtype),
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
+    return enc.reshape(-1, enc.shape[-1])
 
 
-@partial(
-    jax.jit,
-    donate_argnums=(2,),
-    static_argnames=("cfg", "opts", "compute_dtype", "attn_impl", "kv_dtype"),
-)
-def _refill_from_enc(
+def _refill_impl(
     params, cfg: WhisperConfig, state: StreamState, enc: jax.Array,
     pool_tokens, pool_stop, pool_utt, pool_valid, *,
     opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
 ) -> StreamState:
     """Prompt prefill + cross-KV projection + quantize + scatter, FUSED
-    per layer under one lax.scan over the stacked decoder layers.
+    per layer under one lax.scan over the stacked decoder layers. Traced
+    inside _refill_from_enc (split pipeline) or _encode_refill_fused.
 
     Why fused: building the whole pool cache first (init_cache) holds the
     E-row quantized cross-KV (~2 GB at E=16, large-v3 int8) as a live
@@ -168,7 +179,7 @@ def _refill_from_enc(
     `count` ring slots trailing the current shared slot (the age-mask
     convention decode/streaming_beam.py shares)."""
     p = len(opts.prompt_ids)
-    e = enc.shape[0]
+    e = pool_stop.shape[0]
     dec = params["decoder"]
     n_heads = cfg.decoder_attention_heads
     eps = cfg.layer_norm_eps
@@ -311,6 +322,51 @@ def _refill_from_enc(
         utt_id=state.utt_id.at[idx].set(pool_utt),
         ring=state.ring,
         cache=new_cache,
+    )
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(2,),
+    static_argnames=("cfg", "opts", "compute_dtype", "attn_impl", "kv_dtype"),
+)
+def _refill_from_enc(
+    params, cfg: WhisperConfig, state: StreamState, enc: jax.Array,
+    pool_tokens, pool_stop, pool_utt, pool_valid, *,
+    opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
+) -> StreamState:
+    """Split-pipeline refill: consumes the (E*T, D)-flattened encoder
+    output of _encode_only (see its layout note)."""
+    e = pool_stop.shape[0]
+    enc = enc.reshape(e, -1, enc.shape[-1])
+    return _refill_impl(
+        params, cfg, state, enc, pool_tokens, pool_stop, pool_utt,
+        pool_valid, opts=opts, compute_dtype=compute_dtype,
+        attn_impl=attn_impl, kv_dtype=kv_dtype,
+    )
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(2,),
+    static_argnames=("cfg", "opts", "compute_dtype", "attn_impl", "kv_dtype"),
+)
+def _encode_refill_fused(
+    params, cfg: WhisperConfig, state: StreamState, mel: jax.Array,
+    pool_tokens, pool_stop, pool_utt, pool_valid, *,
+    opts: GenerateOptions, compute_dtype, attn_impl, kv_dtype,
+) -> StreamState:
+    """Fused encode+refill in one program (no cross-program enc handoff):
+    the default path — this environment's remote plugin cannot relayout
+    arrays handed between executables (StreamConfig.prefetch notes)."""
+    enc = whisper.encode(
+        params, cfg, mel.astype(compute_dtype),
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+    )
+    return _refill_impl(
+        params, cfg, state, enc, pool_tokens, pool_stop, pool_utt,
+        pool_valid, opts=opts, compute_dtype=compute_dtype,
+        attn_impl=attn_impl, kv_dtype=kv_dtype,
     )
 
 
@@ -460,29 +516,26 @@ def generate_greedy_streaming(
     pending: tuple[int, jax.Array] | None = None  # (lo, enc) prefetch
 
     def encode_slice(lo):
+        return _encode_only(
+            params, cfg, mel_slice(lo),
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
+
+    def mel_slice(lo):
         nonlocal mels_dev, slab_lo
         if lo - slab_lo >= slab_size:  # advance to the next source slab
             slab_lo = lo - lo % slab_size
             mels_dev = jnp.asarray(
                 mels_host[slab_lo : slab_lo + slab_size]
             )
-        batch = jax.lax.dynamic_slice_in_dim(
+        return jax.lax.dynamic_slice_in_dim(
             mels_dev, lo - slab_lo, e, axis=0
-        )
-        return _encode_only(
-            params, cfg, batch,
-            compute_dtype=compute_dtype, attn_impl=attn_impl,
         )
 
     def refill_once(state):
         nonlocal next_utt, pending
         lo = next_utt
         hi = min(lo + e, n)
-        if pending is not None and pending[0] == lo:
-            enc = pending[1]
-            pending = None
-        else:
-            enc = encode_slice(lo)
         valid = np.zeros((e,), bool)
         valid[: hi - lo] = True
         stops = np.full((e,), opts.max_length, np.int64)
@@ -490,10 +543,22 @@ def generate_greedy_streaming(
         utts = np.full((e,), -1, np.int64)
         utts[: hi - lo] = np.arange(lo, hi)
         next_utt = hi
-        return _refill_from_enc(
-            params, cfg, state, enc, pool_tokens,
+        meta = (
+            pool_tokens,
             jnp.asarray(stops, jnp.int32), jnp.asarray(utts, jnp.int32),
-            jnp.asarray(valid), opts=opts, **kw,
+            jnp.asarray(valid),
+        )
+        if stream.prefetch:
+            if pending is not None and pending[0] == lo:
+                enc = pending[1]
+                pending = None
+            else:
+                enc = encode_slice(lo)
+            return _refill_from_enc(
+                params, cfg, state, enc, *meta, opts=opts, **kw,
+            )
+        return _encode_refill_fused(
+            params, cfg, state, mel_slice(lo), *meta, opts=opts, **kw,
         )
 
     # Host-side phase accounting (KWT_STREAM_TRACE=1): dispatch time per
@@ -530,7 +595,7 @@ def generate_greedy_streaming(
         # BEHIND the round: keeps the chip busy through the host sync
         # round trip below (refill order is deterministic, so the slice
         # is always the one the next refill will want)
-        if next_utt < n and pending is None:
+        if stream.prefetch and next_utt < n and pending is None:
             pending = (next_utt, timed("refill", encode_slice, next_utt))
         tokens, finished, active, utt_id = timed(
             "sync", jax.device_get,

@@ -60,6 +60,9 @@ class BeamStreamConfig:
     encode_batch: int = 4      # utterances encoded per refill (E <= groups)
     steps_per_round: int = 64  # backstop; rounds exit early on-device
     length_penalty: float = 1.0
+    prefetch: bool = False     # speculative next-slice encode (see
+    # decode/streaming.py StreamConfig.prefetch — same cross-program
+    # handoff caveat; fused encode+refill is the safe default)
     source_windows: int = 256  # device-resident mel slab (numpy sources)
     layout: str = "ring"       # "ring" | "scatter" self-KV layout.
     # "ring" is the fast path (one shared-slot dynamic_update_slice per
@@ -133,15 +136,7 @@ def _empty_state(
     )
 
 
-@partial(
-    jax.jit,
-    donate_argnums=(2,),
-    static_argnames=(
-        "cfg", "opts", "k", "use_ring", "compute_dtype", "attn_impl",
-        "kv_dtype",
-    ),
-)
-def _encode_refill(
+def _refill_impl_beam(
     params, cfg: WhisperConfig, state: BeamStreamState, enc: jax.Array,
     pool_tokens, pool_stop, pool_utt, pool_valid, *,
     opts: GenerateOptions, k: int, use_ring: bool,
@@ -152,10 +147,9 @@ def _encode_refill(
     decode/beam.py's prefill, which keeps scatter-layout scores bitwise
     equal to lockstep AND skips p replay steps per refill), and scatter
     cross-KV + self-KV prefix into the window's free groups as one donated
-    program. `enc` is the encoder output of streaming._encode_only,
-    dispatched speculatively by the host loop (see decode/streaming.py —
-    it hides the remote-tunnel sync idle)."""
-    e = enc.shape[0]
+    program. Traced inside _refill_from_enc (prefetch pipeline) or
+    _encode_refill_fused (default; see StreamConfig.prefetch caveat)."""
+    e = pool_stop.shape[0]
     p = len(opts.prompt_ids)
     enc = enc.astype(compute_dtype)
     enc_beams = jnp.broadcast_to(
@@ -241,6 +235,59 @@ def _encode_refill(
         active=state.active.at[gidx].set(pool_valid),
         stop=state.stop.at[gidx].set(pool_stop),
         utt_id=state.utt_id.at[gidx].set(pool_utt),
+    )
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(2,),
+    static_argnames=(
+        "cfg", "opts", "k", "use_ring", "compute_dtype", "attn_impl",
+        "kv_dtype",
+    ),
+)
+def _refill_from_enc(
+    params, cfg: WhisperConfig, state: BeamStreamState, enc: jax.Array,
+    pool_tokens, pool_stop, pool_utt, pool_valid, *,
+    opts: GenerateOptions, k: int, use_ring: bool,
+    compute_dtype, attn_impl, kv_dtype,
+) -> BeamStreamState:
+    """Prefetch-pipeline refill: consumes streaming._encode_only's
+    (E*T, D)-flattened output."""
+    e = pool_stop.shape[0]
+    enc = enc.reshape(e, -1, enc.shape[-1])
+    return _refill_impl_beam(
+        params, cfg, state, enc, pool_tokens, pool_stop, pool_utt,
+        pool_valid, opts=opts, k=k, use_ring=use_ring,
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+        kv_dtype=kv_dtype,
+    )
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(2,),
+    static_argnames=(
+        "cfg", "opts", "k", "use_ring", "compute_dtype", "attn_impl",
+        "kv_dtype",
+    ),
+)
+def _encode_refill_fused(
+    params, cfg: WhisperConfig, state: BeamStreamState, mel: jax.Array,
+    pool_tokens, pool_stop, pool_utt, pool_valid, *,
+    opts: GenerateOptions, k: int, use_ring: bool,
+    compute_dtype, attn_impl, kv_dtype,
+) -> BeamStreamState:
+    """Fused encode+refill (no cross-program handoff; the default)."""
+    enc = whisper.encode(
+        params, cfg, mel.astype(compute_dtype),
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+    )
+    return _refill_impl_beam(
+        params, cfg, state, enc, pool_tokens, pool_stop, pool_utt,
+        pool_valid, opts=opts, k=k, use_ring=use_ring,
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+        kv_dtype=kv_dtype,
     )
 
 
@@ -464,16 +511,18 @@ def generate_beam_streaming(
 
     pending: tuple[int, jax.Array] | None = None
 
-    def encode_slice(lo):
+    def mel_slice(lo):
         nonlocal mels_dev, slab_lo
         if lo - slab_lo >= slab_size:
             slab_lo = lo - lo % slab_size
             mels_dev = jnp.asarray(mels_host[slab_lo : slab_lo + slab_size])
-        batch = jax.lax.dynamic_slice_in_dim(
+        return jax.lax.dynamic_slice_in_dim(
             mels_dev, lo - slab_lo, e, axis=0
         )
+
+    def encode_slice(lo):
         return _encode_only(
-            params, cfg, batch,
+            params, cfg, mel_slice(lo),
             compute_dtype=compute_dtype, attn_impl=attn_impl,
         )
 
@@ -481,11 +530,6 @@ def generate_beam_streaming(
         nonlocal next_utt, pending
         lo = next_utt
         hi = min(lo + e, n)
-        if pending is not None and pending[0] == lo:
-            enc = pending[1]
-            pending = None
-        else:
-            enc = encode_slice(lo)
         valid = np.zeros((e,), bool)
         valid[: hi - lo] = True
         stops = np.full((e,), opts.max_length, np.int64)
@@ -493,10 +537,23 @@ def generate_beam_streaming(
         utts = np.full((e,), -1, np.int64)
         utts[: hi - lo] = np.arange(lo, hi)
         next_utt = hi
-        return _encode_refill(
-            params, cfg, state, enc, pool_tokens,
+        meta = (
+            pool_tokens,
             jnp.asarray(stops, jnp.int32), jnp.asarray(utts, jnp.int32),
-            jnp.asarray(valid), opts=opts, k=k,
+            jnp.asarray(valid),
+        )
+        if stream.prefetch:
+            if pending is not None and pending[0] == lo:
+                enc = pending[1]
+                pending = None
+            else:
+                enc = encode_slice(lo)
+            return _refill_from_enc(
+                params, cfg, state, enc, *meta, opts=opts, k=k,
+                use_ring=stream.layout == "ring", **kw,
+            )
+        return _encode_refill_fused(
+            params, cfg, state, mel_slice(lo), *meta, opts=opts, k=k,
             use_ring=stream.layout == "ring", **kw,
         )
 
@@ -515,7 +572,7 @@ def generate_beam_streaming(
             use_ring=stream.layout == "ring", **kw,
         )
         # speculative encode behind the round (see decode/streaming.py)
-        if next_utt < n and pending is None:
+        if stream.prefetch and next_utt < n and pending is None:
             pending = (next_utt, encode_slice(next_utt))
         (done, active, utt_id, fin_tokens, fin_scores, fin_exists,
          alive_logp, tokens, length) = jax.device_get((

@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--beam", action="store_true")
     ap.add_argument("--skip-lockstep", action="store_true")
     ap.add_argument("--skip-stream", action="store_true")
+    ap.add_argument("--kv", default="int8",
+                    choices=["compute", "int8", "int4"])
     args = ap.parse_args()
 
     from kotoba_whisper_tpu.utils.backend import enable_compilation_cache
@@ -115,7 +117,7 @@ def main() -> None:
     if not args.skip_stream and not args.beam:
         os.environ.setdefault("KWT_STREAM_TRACE", "1")
         scfg = StreamConfig(batch=b, encode_batch=16, steps_per_round=8)
-        kw = dict(compute_dtype=jnp.bfloat16, kv_dtype="int8", stream=scfg,
+        kw = dict(compute_dtype=jnp.bfloat16, kv_dtype=args.kv, stream=scfg,
                   stop_at=stops, attn_impl="pallas")
         generate_greedy_streaming(
             params, cfg, mel_all(audio[: 2 * b]), opts, st, **kw
@@ -128,6 +130,7 @@ def main() -> None:
         print(json.dumps({
             "config": "stream-real",
             "value": round(n * feat.chunk_length_s / dt, 2),
+            "detail": {"window": b, "kv": args.kv},
         }), flush=True)
 
     if args.beam:
