@@ -98,6 +98,26 @@ def _prompt_tokens(opts: GenerateOptions, pad: int, rows: int) -> jnp.ndarray:
     )
 
 
+def pin_default_layout(tree):
+    """Constrain every array output to the canonical row-major layout
+    (default tiling). The stream pipeline's programs exchange multi-GB
+    state buffers; when one executable picks a custom output layout, the
+    next program's dispatch must relayout the array — which this
+    environment's remote plugin cannot do (dispatch-time RecursionError /
+    allocation blowups, observed on-chip round 3). Pinning every PRODUCER
+    to the same layout removes the need for relayout entirely."""
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    def pin(x):
+        if getattr(x, "ndim", 0) < 2:
+            return x
+        return with_layout_constraint(
+            x, Layout(major_to_minor=tuple(range(x.ndim)))
+        )
+
+    return jax.tree.map(pin, tree)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -119,7 +139,7 @@ def _empty_state(
         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
     cache = cache._replace(length=jnp.zeros((rows,), jnp.int32))
-    return StreamState(
+    return pin_default_layout(StreamState(
         tokens=_prompt_tokens(opts, cfg.pad_token_id, rows),
         finished=jnp.ones((rows,), bool),
         active=jnp.zeros((rows,), bool),
@@ -127,7 +147,7 @@ def _empty_state(
         utt_id=jnp.full((rows,), -1, jnp.int32),
         ring=jnp.zeros((), jnp.int32),
         cache=cache,
-    )
+    ))
 
 
 @partial(
@@ -153,7 +173,7 @@ def _encode_only(params, cfg: WhisperConfig, mel: jax.Array, *,
         params, cfg, mel.astype(compute_dtype),
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
-    return enc.reshape(-1, enc.shape[-1])
+    return pin_default_layout(enc.reshape(-1, enc.shape[-1]))
 
 
 def _refill_impl(
@@ -314,7 +334,7 @@ def _refill_impl(
         cross_k_scale=cks if quant else None,
         cross_v_scale=cvs if quant else None,
     )
-    return StreamState(
+    return pin_default_layout(StreamState(
         tokens=state.tokens.at[idx].set(pool_tokens),
         finished=state.finished.at[idx].set(~pool_valid),
         active=state.active.at[idx].set(pool_valid),
@@ -322,7 +342,7 @@ def _refill_impl(
         utt_id=state.utt_id.at[idx].set(pool_utt),
         ring=state.ring,
         cache=new_cache,
-    )
+    ))
 
 
 @partial(
@@ -445,7 +465,7 @@ def _steps(
         )
 
     _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
-    return state
+    return pin_default_layout(state)
 
 
 def generate_greedy_streaming(

@@ -50,6 +50,7 @@ from kotoba_whisper_tpu.core.config import SpecialTokens, WhisperConfig
 from kotoba_whisper_tpu.decode.beam import NEG_INF, _gather_beams
 from kotoba_whisper_tpu.decode.greedy import GenerateOptions
 from kotoba_whisper_tpu.decode.logits_rules import apply_rules
+from kotoba_whisper_tpu.decode.streaming import pin_default_layout
 from kotoba_whisper_tpu.models import whisper
 
 
@@ -119,7 +120,7 @@ def _empty_state(
         compute_dtype=compute_dtype, kv_dtype=kv_dtype,
     )
     cache = cache._replace(length=jnp.zeros((w,), jnp.int32))
-    return BeamStreamState(
+    return pin_default_layout(BeamStreamState(
         tokens=_prompt_tokens(opts, cfg.pad_token_id, w),
         cache=cache,
         ring=jnp.zeros((), jnp.int32),
@@ -133,7 +134,7 @@ def _empty_state(
         active=jnp.zeros((g,), bool),
         stop=jnp.full((g,), opts.max_length, jnp.int32),
         utt_id=jnp.full((g,), -1, jnp.int32),
-    )
+    ))
 
 
 def _refill_impl_beam(
@@ -220,7 +221,7 @@ def _refill_impl_beam(
         jnp.asarray([0.0] + [NEG_INF] * (k - 1), jnp.float32), (e, 1)
     )
     max_len = state.tokens.shape[1]
-    return BeamStreamState(
+    return pin_default_layout(BeamStreamState(
         tokens=state.tokens.at[ridx].set(pool_tokens),
         cache=new_cache,
         ring=state.ring,
@@ -235,7 +236,7 @@ def _refill_impl_beam(
         active=state.active.at[gidx].set(pool_valid),
         stop=state.stop.at[gidx].set(pool_stop),
         utt_id=state.utt_id.at[gidx].set(pool_utt),
-    )
+    ))
 
 
 @partial(
@@ -448,7 +449,7 @@ def _steps(
         )
 
     _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0), state))
-    return state
+    return pin_default_layout(state)
 
 
 def generate_beam_streaming(
