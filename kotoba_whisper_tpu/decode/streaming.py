@@ -111,8 +111,13 @@ def pin_default_layout(tree):
     def pin(x):
         if getattr(x, "ndim", 0) < 2:
             return x
+        # packed sub-byte buffers (int4 KV) must carry their packing in
+        # the pinned layout, or consumers see a mismatched (unpacked)
+        # layout and hit the same relayout failure
+        sub = 4 if x.dtype in (jnp.int4, jnp.uint4) else 0
         return with_layout_constraint(
-            x, Layout(major_to_minor=tuple(range(x.ndim)))
+            x, Layout(major_to_minor=tuple(range(x.ndim)),
+                      sub_byte_element_size_in_bits=sub)
         )
 
     return jax.tree.map(pin, tree)
