@@ -51,7 +51,7 @@ import numpy as np
 BASELINE_RATE = 30.0 / 0.184  # reference large-v3, 30 s utterance, cuda:0
 TOTAL_SECS = int(os.environ.get("KWT_BENCH_TOTAL", "1380"))
 # per-config watchdog caps; sum <= TOTAL_SECS worst case
-CONFIG_CAPS = {"fixed-48": 600, "stream-real": 450, "train-b8": 320}
+CONFIG_CAPS = {"fixed-48": 520, "stream-real": 540, "train-b8": 310}
 # minimum useful budget to even attempt a config late in the run
 MIN_BUDGET = 90
 

@@ -105,7 +105,17 @@ def pin_default_layout(tree):
     next program's dispatch must relayout the array — which this
     environment's remote plugin cannot do (dispatch-time RecursionError /
     allocation blowups, observed on-chip round 3). Pinning every PRODUCER
-    to the same layout removes the need for relayout entirely."""
+    to the same layout removes the need for relayout.
+
+    OPT-IN via KWT_PIN_LAYOUTS=1 (read at trace time — set it before the
+    first stream call): the default fused pipeline keeps all big buffers
+    inside one program chain that needs no relayout, and the pin costs a
+    measured ~3% stream throughput (compiler layout freedom). Enable it
+    together with StreamConfig.prefetch on runtimes whose relayout is
+    broken; note int4 KV still cannot cross programs on the axon plugin
+    even pinned (docs/DESIGN.md)."""
+    if os.environ.get("KWT_PIN_LAYOUTS", "0") == "0":
+        return tree
     from jax.experimental.layout import Layout, with_layout_constraint
 
     def pin(x):
