@@ -29,14 +29,29 @@ Prints a JSON result line {"metric", "value", "unit", "vs_baseline",
 "extra"} INCREMENTALLY — re-emitted after every config that completes — so
 a run killed by an outer budget still reports whatever finished (the
 driver parses the last JSON line). The headline is the better of
-stream-real and fixed-48. Budgeting: each config gets ONE watchdog
-attempt, sized so the worst case (every config timing out cold) stays
-under KWT_BENCH_TOTAL (default 1380 s) — round 2's null result came from
-2x1500 s attempts on the first config alone. The persistent XLA
-compilation cache is ON by default here (KWT_COMPILE_CACHE=off to
+stream-real and fixed-48.
+
+Budgeting (VERDICT r3 #1): each config gets one watchdog attempt sized so
+the worst case stays under KWT_BENCH_TOTAL (default 1380 s); fixed-48's
+cap covers one cold large-v3 compile. After the first sweep, any config
+that timed out or failed gets a SECOND-CHANCE attempt with the remaining
+total budget — a first attempt that died mid-sweep still populated the
+persistent compile cache for the programs it finished, so the retry
+resumes further along instead of abandoning the config. The persistent
+XLA compilation cache is ON by default here (KWT_COMPILE_CACHE=off to
 disable): large-model compiles cost 5-10 min each through this
 environment's remote-compile service, and warm-cache reruns make the
 whole bench fit its budget.
+
+`python bench.py --prime` runs every config once with generous per-config
+timeouts to populate the compile cache; it is part of the committed
+workflow after ANY traced-code change (CLAUDE.md), so the driver's
+in-budget run always hits a warm cache. Each config record carries
+setup/compile/per-trial timing in `detail` so artifacts are interpretable
+without trusting docs (VERDICT r3 #8).
+
+KWT_BENCH_GEMM=int8 switches the decode configs to w8a8 quantized dense
+projections (models/quantized.py) on top of int8 KV.
 """
 from __future__ import annotations
 
@@ -50,10 +65,16 @@ import numpy as np
 
 BASELINE_RATE = 30.0 / 0.184  # reference large-v3, 30 s utterance, cuda:0
 TOTAL_SECS = int(os.environ.get("KWT_BENCH_TOTAL", "1380"))
-# per-config watchdog caps; sum <= TOTAL_SECS worst case
-CONFIG_CAPS = {"fixed-48": 520, "stream-real": 540, "train-b8": 310}
+# per-config watchdog caps; sum <= TOTAL_SECS worst case. fixed-48 leads
+# and its cap covers one cold large-v3 pipeline compile (~600 s through
+# the remote-compile service) — round 3 regressed because the cap was
+# shrunk below that (VERDICT r3 #1).
+CONFIG_CAPS = {"fixed-48": 640, "stream-real": 450, "train-b8": 270}
 # minimum useful budget to even attempt a config late in the run
 MIN_BUDGET = 90
+# per-config timeout in --prime mode (cache population, run manually —
+# not under the driver's budget)
+PRIME_CAP = int(os.environ.get("KWT_BENCH_PRIME_CAP", "1500"))
 
 
 def _realistic_stops(n: int, prompt_len: int, rng) -> np.ndarray:
@@ -82,7 +103,17 @@ def _large_v3_setup():
         from kotoba_whisper_tpu.models.optimized import fuse_for_inference
 
         params = fuse_for_inference(params)
+    if bench_gemm() == "int8":
+        from kotoba_whisper_tpu.models.quantized import quantize_for_inference
+
+        params = quantize_for_inference(params)
     return cfg, st, feat, params
+
+
+def bench_gemm() -> str:
+    """Dense-projection dtype for the decode configs: "compute" (bf16) or
+    "int8" (w8a8, models/quantized.py — halves decoder weight streaming)."""
+    return os.environ.get("KWT_BENCH_GEMM", "compute")
 
 
 def run_stream_real(smoke: bool = False) -> dict:
@@ -121,23 +152,27 @@ def run_stream_real(smoke: bool = False) -> dict:
 
     import jax
 
+    t_setup = time.perf_counter()
     rng = np.random.default_rng(0)
     # audio uploaded ONCE before timing (input staging overlaps compute in
     # the production pipeline); mel runs ON DEVICE inside the timed window
     # in refill-sized batches, with no host round-trips — the same
     # device-residency discipline as the fixed-48 config. (bench r2 showed
     # per-refill host<->device mel traffic dominating the whole stream on
-    # the remote-attached chip.)
+    # the remote-attached chip.) Staged in bf16 (184 MB, not 368 MB fp32)
+    # so the buffer can stay alive across trials without tipping the v5e
+    # over next to the full int8 window state.
     audio = jnp.asarray(
         rng.standard_normal((n, feat.n_samples)).astype(np.float32) * 0.1
-    )
+    ).astype(jnp.bfloat16)
 
     def mel_all(a):
-        # bf16 residency: the encoder casts to bf16 anyway, and the fp32
-        # copy of 192 windows (+295 MB) tips a v5e over with the full
-        # int8 window state resident
+        # bf16 residency: the encoder casts to bf16 anyway; the fp32
+        # upcast is one ebatch-sized temp (30 MB) inside the loop
         return jnp.concatenate([
-            log_mel_spectrogram(a[i : i + ebatch], feat).astype(dtype)
+            log_mel_spectrogram(
+                a[i : i + ebatch].astype(jnp.float32), feat
+            ).astype(dtype)
             for i in range(0, a.shape[0], ebatch)
         ])
 
@@ -154,21 +189,32 @@ def run_stream_real(smoke: bool = False) -> dict:
               attn_impl=attn)
 
     # warmup/compile on a prefix of the stream
+    t_compile = time.perf_counter()
     generate_greedy_streaming(
         params, cfg, mel_all(audio[: 2 * window]), opts, st, **kw
     )
-    t0 = time.perf_counter()
-    mels = mel_all(audio)
-    audio = None  # free the raw-audio buffer before the window allocates
-    out = generate_greedy_streaming(params, cfg, mels, opts, st, **kw)
-    dt = time.perf_counter() - t0
+    compile_s = time.perf_counter() - t_compile
+
+    trials = 1 if smoke else int(os.environ.get("KWT_BENCH_TRIALS", "2"))
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        mels = mel_all(audio)
+        out = generate_greedy_streaming(params, cfg, mels, opts, st, **kw)
+        np.asarray(out[-1][-1])  # readback fence (remote-attached chip)
+        times.append(time.perf_counter() - t0)
+        mels = None
     assert out.shape[0] == n
+    dt = float(np.mean(times))
     return {
         "config": "stream-real",
         "value": round(n * feat.chunk_length_s / dt, 2),
         "detail": {
-            "n_utts": n, "window": window, "kv": kv,
+            "n_utts": n, "window": window, "kv": kv, "gemm": bench_gemm(),
             "mean_stop_tokens": round(float(stops.mean()), 1),
+            "trial_s": [round(t, 3) for t in times],
+            "compile_s": round(compile_s, 1),
+            "setup_s": round(t_compile - t_setup, 1),
         },
     }
 
@@ -204,16 +250,25 @@ def run_fixed48() -> dict:
             compute_dtype=jnp.bfloat16, kv_dtype="int8", attn_impl=attn_impl,
         )
 
-    jax.block_until_ready(pipeline(params, audio))  # compile
+    t_compile = time.perf_counter()
+    out = pipeline(params, audio)
+    np.asarray(out[-1, -1])  # readback fence; compile included here
+    compile_s = time.perf_counter() - t_compile
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipeline(params, audio))
+        out = pipeline(params, audio)
+        np.asarray(out[-1, -1])
         times.append(time.perf_counter() - t0)
     dt = float(np.mean(times))
     return {
         "config": "fixed-48",
         "value": round(batch * feat.chunk_length_s / dt, 2),
+        "detail": {
+            "kv": "int8", "gemm": bench_gemm(), "attn": attn_impl,
+            "trial_s": [round(t, 3) for t in times],
+            "compile_s": round(compile_s, 1),
+        },
     }
 
 
@@ -261,18 +316,33 @@ def run_train_b8() -> dict:
         "decoder_input_ids": jnp.asarray(dii),
     }
 
-    state, _ = step_fn(state, teacher, data)  # compile
-    jax.block_until_ready(state.params)
+    def fence(state, metrics):
+        # readback fence: block_until_ready alone does not fence
+        # device-resident-input programs on the remote-attached chip.
+        # One element of an updated param leaf fences the optimizer
+        # update, not just the loss computation.
+        np.asarray(jax.tree.leaves(metrics)[0])
+        leaf = jax.tree.leaves(state.params)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    t_compile = time.perf_counter()
+    state, metrics = step_fn(state, teacher, data)  # compile
+    fence(state, metrics)
+    compile_s = time.perf_counter() - t_compile
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
         state, metrics = step_fn(state, teacher, data)
-        jax.block_until_ready(state.params)
+        fence(state, metrics)
         times.append(time.perf_counter() - t0)
     dt = float(np.mean(times))
     return {
         "config": "train-b8",
         "value": round(batch * feat.chunk_length_s / dt, 2),
+        "detail": {
+            "trial_s": [round(t, 3) for t in times],
+            "compile_s": round(compile_s, 1),
+        },
     }
 
 
@@ -318,6 +388,36 @@ def main() -> None:
         print(json.dumps(RUNNERS[sys.argv[2]]()), flush=True)
         return
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--prime":
+        # Cache population: run each config once with a generous timeout so
+        # every program lands in the persistent compile cache. Part of the
+        # committed workflow after any traced-code change (VERDICT r3 #1a);
+        # the driver's budgeted run then always hits a warm cache.
+        names = sys.argv[2:] or list(RUNNERS)
+        for name in names:
+            t0 = time.monotonic()
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--config", name],
+                    timeout=PRIME_CAP, capture_output=True, text=True,
+                )
+                recs = [json.loads(ln) for ln in out.stdout.splitlines()
+                        if ln.startswith('{"config"')]
+                print(json.dumps({
+                    "prime": name, "rc": out.returncode,
+                    "wall_s": round(time.monotonic() - t0, 1),
+                    "record": recs[-1] if recs else None,
+                }), flush=True)
+                if not recs:
+                    print(out.stderr[-600:], file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({
+                    "prime": name, "timeout": True,
+                    "wall_s": round(time.monotonic() - t0, 1),
+                }), flush=True)
+        return
+
     import jax
 
     if jax.devices()[0].platform != "tpu":
@@ -328,14 +428,9 @@ def main() -> None:
     t_start = time.monotonic()
     order = ("fixed-48", "stream-real", "train-b8")
     extra: dict = {}
-    for i, name in enumerate(order):
-        # budget = cap, shrunk so every remaining config keeps MIN_BUDGET
-        elapsed = time.monotonic() - t_start
-        reserve = MIN_BUDGET * (len(order) - i - 1)
-        budget = min(CONFIG_CAPS[name], TOTAL_SECS - elapsed - reserve)
-        if budget < MIN_BUDGET:
-            print(f"bench {name} skipped (out of budget)", file=sys.stderr)
-            continue
+
+    def attempt(name: str, budget: float) -> None:
+        t_a = time.monotonic()
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
@@ -347,6 +442,9 @@ def main() -> None:
                 if line.startswith('{"config"'):
                     rec = json.loads(line)
             if rec is not None:
+                rec.setdefault("detail", {})["wall_s"] = round(
+                    time.monotonic() - t_a, 1
+                )
                 extra[name] = rec
             else:
                 print(
@@ -361,6 +459,32 @@ def main() -> None:
         h = _headline(extra)
         if h is not None:
             _emit(h, dict(extra))
+
+    for i, name in enumerate(order):
+        # budget = cap, shrunk so every remaining config keeps MIN_BUDGET
+        elapsed = time.monotonic() - t_start
+        reserve = MIN_BUDGET * (len(order) - i - 1)
+        budget = min(CONFIG_CAPS[name], TOTAL_SECS - elapsed - reserve)
+        if budget < MIN_BUDGET:
+            print(f"bench {name} skipped (out of budget)", file=sys.stderr)
+            continue
+        attempt(name, budget)
+
+    # Second-chance pass (VERDICT r3 #1b): any config that timed out or
+    # failed gets the remaining TOTAL budget instead of leaving it unspent.
+    # Its first attempt populated the persistent compile cache up to where
+    # it died, so the retry resumes further along.
+    for name in order:
+        if name in extra:
+            continue
+        remaining = TOTAL_SECS - (time.monotonic() - t_start)
+        if remaining < MIN_BUDGET:
+            break
+        print(
+            f"bench {name} second-chance attempt ({remaining:.0f}s left)",
+            file=sys.stderr,
+        )
+        attempt(name, remaining)
 
     if _headline(extra) is None:
         raise SystemExit("no bench config completed")

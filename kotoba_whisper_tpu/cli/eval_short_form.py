@@ -43,6 +43,20 @@ def main(argv=None) -> None:
     ap.add_argument("--mt_tgt_lang", default="eng_Latn")
     arg = ap.parse_args(argv)
 
+    from kotoba_whisper_tpu.eval.nemo_baseline import (
+        is_nemo_model,
+        make_nemo_transcribe_fn,
+    )
+
+    if is_nemo_model(arg.model):
+        # baseline-zoo branch (run_short_form_eval.py:171-182): the NeMo
+        # ReazonSpeech model via its own package; no whisper pipeline.
+        return _run_eval(
+            arg,
+            make_nemo_transcribe_fn(language=arg.language, task=arg.task),
+            task=arg.task,
+        )
+
     import jax
 
     from kotoba_whisper_tpu.utils.backend import ensure_backend
@@ -51,10 +65,7 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from kotoba_whisper_tpu.cli import common
-    from kotoba_whisper_tpu.data import reazon
     from kotoba_whisper_tpu.decode.pipeline import AsrPipeline
-    from kotoba_whisper_tpu.eval.shortform import EvalExample, evaluate_short_form
-    from kotoba_whisper_tpu.utils import native
 
     tok = common.load_tokenizer(arg.tokenizer)
     params, cfg = common.load_model(arg.model)
@@ -72,15 +83,6 @@ def main(argv=None) -> None:
         compute_dtype=compute_dtype, kv_dtype=arg.kv_dtype,
         attn_impl="pallas" if jax.default_backend() == "tpu" else "xla",
     )
-
-    examples = []
-    for u in reazon.iter_dataset_dir(arg.dataset_dir):
-        if u.transcription is None:
-            continue
-        audio, _ = native.decode_audio(u.audio_bytes, 16000)
-        examples.append(EvalExample(audio, u.transcription, u.name))
-        if arg.limit is not None and len(examples) >= arg.limit:
-            break
 
     transcribe = pipe.transcribe
     if arg.punctuator or arg.stable_ts:
@@ -119,6 +121,27 @@ def main(argv=None) -> None:
         )
         transcribe = cascade.transcribe
         task = "translate"  # metric.{lang}.translate.jsonl schema
+
+    _run_eval(arg, transcribe, task=task)
+
+
+def _run_eval(arg, transcribe, *, task: str) -> None:
+    """Shared tail: load the eval set, run `transcribe`, write artifacts."""
+    from kotoba_whisper_tpu.data import reazon
+    from kotoba_whisper_tpu.eval.shortform import (
+        EvalExample,
+        evaluate_short_form,
+    )
+    from kotoba_whisper_tpu.utils import native
+
+    examples = []
+    for u in reazon.iter_dataset_dir(arg.dataset_dir):
+        if u.transcription is None:
+            continue
+        audio, _ = native.decode_audio(u.audio_bytes, 16000)
+        examples.append(EvalExample(audio, u.transcription, u.name))
+        if arg.limit is not None and len(examples) >= arg.limit:
+            break
 
     record = evaluate_short_form(
         examples,

@@ -26,6 +26,11 @@ def main(argv=None) -> None:
                     help="int8: w8a8 dense projections (models/quantized.py)")
     ap.add_argument("--no_fuse", action="store_true",
                     help="skip the lossless inference projection fusion")
+    ap.add_argument("--max_length", type=int, default=128,
+                    help="decode token budget per 15 s chunk. With random "
+                    "weights (preset: models) the decode runs to this "
+                    "budget, so it sets the measured decode length; the "
+                    "committed table states it per row")
     arg = ap.parse_args(argv)
 
     import jax
@@ -52,7 +57,7 @@ def main(argv=None) -> None:
         params=params, cfg=cfg, tok=tok,
         **gen_defaults,
         chunk_length_s=arg.chunk_length_s, compute_dtype=compute_dtype,
-        attn_impl=attn, kv_dtype=arg.kv_dtype,
+        attn_impl=attn, kv_dtype=arg.kv_dtype, max_length=arg.max_length,
     )
     records = evaluate_speed(
         pipe.transcribe,
@@ -61,6 +66,12 @@ def main(argv=None) -> None:
         n_trials=arg.n_trials,
         output_path=arg.output,
         attn_impl=attn,
+        extra={
+            "max_length": arg.max_length,
+            "kv_dtype": arg.kv_dtype,
+            "gemm_dtype": arg.gemm_dtype,
+            "chunk_length_s": arg.chunk_length_s,
+        },
     )
     for r in records:
         print(r)

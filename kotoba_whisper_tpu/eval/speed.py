@@ -31,7 +31,12 @@ def evaluate_speed(
     n_warmup: int = 2,
     output_path: str = "eval_pipeline/runtime_pipeline.jsonl",
     attn_impl: str = "pallas",
+    extra: dict | None = None,
 ) -> list[dict]:
+    """Rows carry BOTH this framework's short keys (mean/std/trials) and
+    the reference's exact field names ("time (mean)"/"time (std)"/
+    "time (all)" + device, run_speed_eval.py:80) so the committed JSONL
+    diffs structurally against eval_pipeline/runtime_pipeline.jsonl."""
     records = []
     for duration in durations:
         audio = generate_dummy_audio(duration)
@@ -45,11 +50,26 @@ def evaluate_speed(
         rec = {
             "model": model_name,
             "attention": attn_impl,
+            "device": _device_name(),
             "duration": duration,
             "mean": float(np.mean(times)),
             "std": float(np.std(times)),
             "trials": n_trials,
+            "time (mean)": float(np.mean(times)),
+            "time (std)": float(np.std(times)),
+            "time (all)": [float(t) for t in times],
+            **(extra or {}),
         }
         append_jsonl(output_path, rec)
         records.append(rec)
     return records
+
+
+def _device_name() -> str:
+    try:
+        import jax
+
+        d = jax.devices()[0]
+        return f"{d.platform}:{d.id}"
+    except Exception:  # pragma: no cover - device probe is best-effort
+        return "unknown"

@@ -395,3 +395,37 @@ def test_cascaded_mt_eval(dataset_dir, tmp_path):
         open(out / "metric.ja.translate.jsonl").read().splitlines()[-1]
     )
     assert {"cer_raw", "wer_raw", "cer_norm", "wer_norm"} <= set(rec)
+
+
+def test_nemo_baseline_eval(dataset_dir, tmp_path):
+    """eval_short_form --model reazon-research/reazonspeech-nemo-v2: the
+    baseline-zoo branch (run_short_form_eval.py:171-182) runs the stubbed
+    NeMo adapter end-to-end — no whisper model is loaded — and writes the
+    standard metric.ja.transcribe.jsonl + prediction CSV artifacts."""
+    import json as _json
+    import sys
+
+    from kotoba_whisper_tpu.cli import eval_short_form
+    from tests.test_report_addons import _stub_reazonspeech
+
+    calls = {}
+    names = _stub_reazonspeech(calls)
+    out = tmp_path / "eval_nemo"
+    try:
+        eval_short_form.main([
+            "--model", "reazon-research/reazonspeech-nemo-v2",
+            "--dataset_dir", dataset_dir,
+            "--dataset_name", "synthetic",
+            "--output_dir", str(out),
+            "--limit", "2",
+        ])
+    finally:
+        for n in names:
+            del sys.modules[n]
+    assert calls["loaded"] == 1
+    assert len(calls["audio"]) == 2
+    rec = _json.loads(
+        open(out / "metric.ja.transcribe.jsonl").read().splitlines()[-1]
+    )
+    assert rec["model"] == "reazon-research/reazonspeech-nemo-v2"
+    assert {"cer_raw", "wer_raw", "cer_norm", "wer_norm"} <= set(rec)

@@ -277,3 +277,127 @@ def test_fix_timestamps_runs_regroup():
         for c in out
     )
     assert out[0]["text"] == "a。"
+
+
+def test_punctuator_default_prefers_onnx_when_importable():
+    """Punctuator.default() matches the reference default
+    (misc/whisper_add_on/punctuator.py:10-11): the real pcs_47lang ONNX
+    model whenever the package imports, rules only as a fallback."""
+    import sys
+    import types
+
+    from kotoba_whisper_tpu.eval.punctuator import Punctuator
+
+    class FakeModel:
+        @classmethod
+        def from_pretrained(cls, name):
+            assert name == "pcs_47lang"
+            return cls()
+
+        def infer(self, texts):
+            return [[t + "。"] for t in texts]
+
+    models_mod = types.ModuleType("punctuators.models")
+    models_mod.PunctCapSegModelONNX = FakeModel
+    pkg = types.ModuleType("punctuators")
+    pkg.models = models_mod
+    sys.modules["punctuators"] = pkg
+    sys.modules["punctuators.models"] = models_mod
+    try:
+        p = Punctuator.default()
+        # the ONNX path was taken: no content guard, model drives text
+        assert p.guard_content is False
+        out = p.punctuate([{"text": "やあ", "timestamp": (0.0, 1.0)}])
+        assert out[0]["text"] == "やあ。"
+    finally:
+        del sys.modules["punctuators"], sys.modules["punctuators.models"]
+
+
+def _stub_reazonspeech(calls):
+    """Install a fake `reazonspeech.nemo.asr` package; returns the module
+    objects for cleanup."""
+    import sys
+    import types
+
+    asr = types.ModuleType("reazonspeech.nemo.asr")
+
+    class AudioData:
+        def __init__(self, waveform, samplerate):
+            self.waveform = waveform
+            self.samplerate = samplerate
+
+    interface = types.SimpleNamespace(AudioData=AudioData)
+
+    def load_model():
+        calls["loaded"] = calls.get("loaded", 0) + 1
+        return "MODEL"
+
+    class _Result:
+        def __init__(self, text):
+            self.text = text
+
+    def transcribe(model, audio_data):
+        assert model == "MODEL"
+        calls.setdefault("audio", []).append(
+            (len(audio_data.waveform), audio_data.samplerate)
+        )
+        return _Result(f"nemo transcript {len(calls['audio'])}")
+
+    asr.interface = interface
+    asr.load_model = load_model
+    asr.transcribe = transcribe
+    nemo = types.ModuleType("reazonspeech.nemo")
+    nemo.asr = asr
+    pkg = types.ModuleType("reazonspeech")
+    pkg.nemo = nemo
+    names = ["reazonspeech", "reazonspeech.nemo", "reazonspeech.nemo.asr"]
+    for n, m in zip(names, [pkg, nemo, asr]):
+        sys.modules[n] = m
+    return names
+
+
+def test_nemo_baseline_adapter():
+    """make_nemo_transcribe_fn drives the reazonspeech package with the
+    reference's call shape (run_short_form_eval.py:171-182): load_model
+    once, AudioData(waveform, samplerate) per utterance, `.text` result.
+    Stubbed — the NeMo stack is not installable here; the adapter
+    semantics are what this pins."""
+    import sys
+
+    import numpy as np
+
+    from kotoba_whisper_tpu.eval.nemo_baseline import (
+        is_nemo_model,
+        make_nemo_transcribe_fn,
+    )
+
+    assert is_nemo_model("reazon-research/reazonspeech-nemo-v2")
+    assert not is_nemo_model("preset:test-byte")
+
+    calls = {}
+    names = _stub_reazonspeech(calls)
+    try:
+        fn = make_nemo_transcribe_fn()
+        out = fn(np.zeros(1600, np.float32))
+        assert out == "nemo transcript 1"
+        assert calls["loaded"] == 1
+        assert calls["audio"] == [(1600, 16000)]
+    finally:
+        for n in names:
+            del sys.modules[n]
+
+
+def test_nemo_baseline_guards():
+    """The reference's exact guards (run_short_form_eval.py:172): the
+    baseline is ja-transcribe only, checked BEFORE the optional import."""
+    import pytest as _pytest
+
+    from kotoba_whisper_tpu.eval.nemo_baseline import make_nemo_transcribe_fn
+
+    with _pytest.raises(ValueError):
+        make_nemo_transcribe_fn(task="translate")
+    with _pytest.raises(ValueError):
+        make_nemo_transcribe_fn(language="en")
+    # with valid args but no package installed: ImportError with guidance
+    with _pytest.raises(ImportError):
+        make_nemo_transcribe_fn()
