@@ -20,6 +20,14 @@ process/axon session clears transient wedges):
   teacher logits via the frozen shared encoder, B=8, 128-token labels,
   bf16 + remat), fwd+bwd+AdamW.
 
+Each decode subprocess measures TWO gemm variants from one model setup
+and emits a record per variant: the bf16 baseline (`fixed-48`,
+`stream-real` — comparable across rounds) and the same pipeline on
+int8-quantized dense projections (`fixed-48-w8a8`, `stream-real-w8a8`;
+models/quantized.py — halved decoder weight streaming, measured +9% on
+fixed-48, +2% on the encode-bound stream). The headline is the best
+decode record.
+
 vs_baseline compares the headline against the reference stack's
 single-stream 30 s latency on its CUDA GPU (0.184 s -> 163 audio-s/s,
 eval_pipeline/runtime_pipeline.jsonl) — the only speed point the reference
@@ -188,38 +196,57 @@ def run_stream_real(smoke: bool = False) -> dict:
     kw = dict(compute_dtype=dtype, kv_dtype=kv, stream=scfg, stop_at=stops,
               attn_impl=attn)
 
-    # warmup/compile on a prefix of the stream
-    t_compile = time.perf_counter()
-    generate_greedy_streaming(
-        params, cfg, mel_all(audio[: 2 * window]), opts, st, **kw
-    )
-    compile_s = time.perf_counter() - t_compile
-
     trials = 1 if smoke else int(os.environ.get("KWT_BENCH_TRIALS", "2"))
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        mels = mel_all(audio)
-        out = generate_greedy_streaming(params, cfg, mels, opts, st, **kw)
-        np.asarray(out[-1][-1])  # readback fence (remote-attached chip)
-        times.append(time.perf_counter() - t0)
-        mels = None
-    assert out.shape[0] == n
-    dt = float(np.mean(times))
-    return {
-        "config": "stream-real",
-        "value": round(n * feat.chunk_length_s / dt, 2),
-        "detail": {
-            "n_utts": n, "window": window, "kv": kv, "gemm": bench_gemm(),
-            "mean_stop_tokens": round(float(stops.mean()), 1),
-            "trial_s": [round(t, 3) for t in times],
-            "compile_s": round(compile_s, 1),
-            "setup_s": round(t_compile - t_setup, 1),
-        },
-    }
+
+    def measure(name: str, pp, gemm: str) -> dict:
+        # warmup/compile on a prefix of the stream
+        t_compile = time.perf_counter()
+        generate_greedy_streaming(
+            pp, cfg, mel_all(audio[: 2 * window]), opts, st, **kw
+        )
+        compile_s = time.perf_counter() - t_compile
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            mels = mel_all(audio)
+            out = generate_greedy_streaming(pp, cfg, mels, opts, st, **kw)
+            np.asarray(out[-1][-1])  # readback fence (remote-attached chip)
+            times.append(time.perf_counter() - t0)
+            mels = None
+        assert out.shape[0] == n
+        dt = float(np.mean(times))
+        return {
+            "config": name,
+            "value": round(n * feat.chunk_length_s / dt, 2),
+            "detail": {
+                "n_utts": n, "window": window, "kv": kv, "gemm": gemm,
+                "mean_stop_tokens": round(float(stops.mean()), 1),
+                "trial_s": [round(t, 3) for t in times],
+                "compile_s": round(compile_s, 1),
+                "setup_s": round(t_compile - t_setup, 1),
+            },
+        }
+
+    if smoke or bench_gemm() == "int8":
+        # smoke, or explicit env override (whole run already w8a8)
+        return measure("stream-real", params, bench_gemm())
+    rec = measure("stream-real", params, "compute")
+    print(json.dumps(rec), flush=True)
+    from kotoba_whisper_tpu.models.quantized import quantize_for_inference
+
+    qparams = quantize_for_inference(params)
+    params = None  # free the bf16 projections before the w8a8 stream runs
+    return measure("stream-real-w8a8", qparams, "int8")
 
 
 def run_fixed48() -> dict:
+    """Measures TWO gemm variants from one setup (the ~5 min param-init/
+    upload cost is paid once): `fixed-48` stays bf16 dense projections —
+    the round-1 cross-round comparability workload — and `fixed-48-w8a8`
+    re-runs the identical pipeline on int8-quantized projections
+    (models/quantized.py), the measured decode-side int8 win (VERDICT r3
+    #2). Both records are emitted; the parent collects every
+    '{"config"...' line."""
     import dataclasses
 
     import jax
@@ -230,6 +257,7 @@ def run_fixed48() -> dict:
         generate_greedy,
         transcribe_prompt,
     )
+    from kotoba_whisper_tpu.models.quantized import quantize_for_inference
     from kotoba_whisper_tpu.ops.mel import log_mel_spectrogram
 
     cfg, st, feat, params = _large_v3_setup()
@@ -250,26 +278,34 @@ def run_fixed48() -> dict:
             compute_dtype=jnp.bfloat16, kv_dtype="int8", attn_impl=attn_impl,
         )
 
-    t_compile = time.perf_counter()
-    out = pipeline(params, audio)
-    np.asarray(out[-1, -1])  # readback fence; compile included here
-    compile_s = time.perf_counter() - t_compile
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        out = pipeline(params, audio)
-        np.asarray(out[-1, -1])
-        times.append(time.perf_counter() - t0)
-    dt = float(np.mean(times))
-    return {
-        "config": "fixed-48",
-        "value": round(batch * feat.chunk_length_s / dt, 2),
-        "detail": {
-            "kv": "int8", "gemm": bench_gemm(), "attn": attn_impl,
-            "trial_s": [round(t, 3) for t in times],
-            "compile_s": round(compile_s, 1),
-        },
-    }
+    def measure(name: str, pp, gemm: str) -> dict:
+        t_compile = time.perf_counter()
+        out = pipeline(pp, audio)
+        np.asarray(out[-1, -1])  # readback fence; compile included here
+        compile_s = time.perf_counter() - t_compile
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = pipeline(pp, audio)
+            np.asarray(out[-1, -1])
+            times.append(time.perf_counter() - t0)
+        dt = float(np.mean(times))
+        return {
+            "config": name,
+            "value": round(batch * feat.chunk_length_s / dt, 2),
+            "detail": {
+                "kv": "int8", "gemm": gemm, "attn": attn_impl,
+                "trial_s": [round(t, 3) for t in times],
+                "compile_s": round(compile_s, 1),
+            },
+        }
+
+    if bench_gemm() == "int8":
+        # explicit env override: the whole run is w8a8 (no second variant)
+        return measure("fixed-48", params, "int8")
+    rec = measure("fixed-48", params, "compute")
+    print(json.dumps(rec), flush=True)
+    return measure("fixed-48-w8a8", quantize_for_inference(params), "int8")
 
 
 def run_train_b8() -> dict:
@@ -364,10 +400,14 @@ def _emit(headline: float, extra: dict) -> None:
 
 
 def _headline(extra: dict) -> float | None:
-    """Better of the two decode configs (VERDICT r2 #2: headline must
-    match the winning config); fall back to train if neither ran."""
-    vals = [extra[n]["value"] for n in ("stream-real", "fixed-48")
-            if n in extra]
+    """Best decode config (VERDICT r2 #2: headline must match the winning
+    config); fall back to train if none ran."""
+    vals = [
+        extra[n]["value"]
+        for n in ("stream-real", "stream-real-w8a8",
+                  "fixed-48", "fixed-48-w8a8")
+        if n in extra
+    ]
     if vals:
         return max(vals)
     if "train-b8" in extra:
@@ -407,7 +447,7 @@ def main() -> None:
                 print(json.dumps({
                     "prime": name, "rc": out.returncode,
                     "wall_s": round(time.monotonic() - t0, 1),
-                    "record": recs[-1] if recs else None,
+                    "records": recs,
                 }), flush=True)
                 if not recs:
                     print(out.stderr[-600:], file=sys.stderr)
@@ -429,6 +469,21 @@ def main() -> None:
     order = ("fixed-48", "stream-real", "train-b8")
     extra: dict = {}
 
+    def collect(stdout: str | bytes | None, t_a: float) -> list:
+        if stdout is None:
+            return []
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        recs = [json.loads(line) for line in stdout.splitlines()
+                if line.startswith('{"config"')]
+        # a subprocess may emit several configs (gemm variants)
+        for rec in recs:
+            rec.setdefault("detail", {})["wall_s"] = round(
+                time.monotonic() - t_a, 1
+            )
+            extra[rec["config"]] = rec
+        return recs
+
     def attempt(name: str, budget: float) -> None:
         t_a = time.monotonic()
         try:
@@ -437,23 +492,18 @@ def main() -> None:
                  "--config", name],
                 timeout=budget, capture_output=True, text=True,
             )
-            rec = None
-            for line in out.stdout.splitlines():
-                if line.startswith('{"config"'):
-                    rec = json.loads(line)
-            if rec is not None:
-                rec.setdefault("detail", {})["wall_s"] = round(
-                    time.monotonic() - t_a, 1
-                )
-                extra[name] = rec
-            else:
+            if not collect(out.stdout, t_a):
                 print(
                     f"bench {name} produced no record (rc={out.returncode}):"
                     f" {out.stderr[-400:]}", file=sys.stderr,
                 )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # records emitted before the kill still count (each variant
+            # prints + flushes as it completes)
+            got = collect(e.stdout, t_a)
             print(
-                f"bench {name} timed out ({budget:.0f}s)", file=sys.stderr,
+                f"bench {name} timed out ({budget:.0f}s); "
+                f"salvaged {len(got)} record(s)", file=sys.stderr,
             )
         # emit after EVERY config so a killed run still reports (r2 fix)
         h = _headline(extra)
@@ -474,8 +524,13 @@ def main() -> None:
     # failed gets the remaining TOTAL budget instead of leaving it unspent.
     # Its first attempt populated the persistent compile cache up to where
     # it died, so the retry resumes further along.
+    expected = {
+        "fixed-48": ("fixed-48", "fixed-48-w8a8"),
+        "stream-real": ("stream-real", "stream-real-w8a8"),
+        "train-b8": ("train-b8",),
+    }
     for name in order:
-        if name in extra:
+        if all(c in extra for c in expected[name]):
             continue
         remaining = TOTAL_SECS - (time.monotonic() - t_start)
         if remaining < MIN_BUDGET:
