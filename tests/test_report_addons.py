@@ -401,3 +401,30 @@ def test_nemo_baseline_guards():
     # with valid args but no package installed: ImportError with guidance
     with _pytest.raises(ImportError):
         make_nemo_transcribe_fn()
+
+
+def test_speed_eval_reference_schema(tmp_path):
+    """runtime_pipeline.jsonl rows carry the reference's exact field
+    names (run_speed_eval.py:80: "time (mean)"/"time (std)"/"time (all)"
+    + device) alongside this framework's short keys."""
+    import json
+
+    from kotoba_whisper_tpu.eval.speed import evaluate_speed
+
+    out = tmp_path / "runtime_pipeline.jsonl"
+    recs = evaluate_speed(
+        lambda audio: "x",
+        model_name="m",
+        durations=[1.0],
+        n_trials=2,
+        n_warmup=0,
+        output_path=str(out),
+        attn_impl="xla",
+        extra={"max_length": 32},
+    )
+    row = json.loads(out.read_text().splitlines()[-1])
+    assert row["model"] == "m" and row["duration"] == 1.0
+    assert row["time (mean)"] == row["mean"]
+    assert len(row["time (all)"]) == 2
+    assert row["max_length"] == 32 and "device" in row
+    assert recs[0]["trials"] == 2

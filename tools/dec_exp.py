@@ -161,13 +161,20 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         return float(np.min(times))
 
+    def run_w8a8():
+        # the bf16 projections must be freed before the quantized cache
+        # allocates (bf16 3.1 GB + int8 1.7 GB + 5.9 GB cross-KV OOMs a
+        # 16 GB v5e) — so w8a8 must be the LAST variant of a run
+        nonlocal params
+        qp = quantize_for_inference(params)
+        params = None
+        return timed(qp, enc_full, True)
+
     variants = {
         "full": lambda: timed(params, enc_full, True),
         "no_head": lambda: timed(params, enc_full, False),
         "cross_t64": lambda: timed(params, enc_full[:, :64], True),
-        "w8a8": lambda: timed(
-            quantize_for_inference(params), enc_full, True
-        ),
+        "w8a8": run_w8a8,
     }
     out = {"config": {"batch": b, "steps": n_steps, "kv": args.kv}}
     for name in args.variants.split(","):
