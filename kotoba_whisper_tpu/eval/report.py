@@ -2,6 +2,8 @@
 
 Counterpart of run_short_form_eval.py's `--pretty-table` mode (:56-103):
 pivot model x dataset for a chosen metric, rendered as GitHub markdown.
+`--runtime` pivots model x duration over runtime_pipeline.jsonl rows
+(run_speed_eval.py:34-50's pretty-table).
 """
 from __future__ import annotations
 
@@ -45,14 +47,49 @@ def pivot_table(
     return "\n".join(lines)
 
 
+def runtime_pivot_table(records: list[dict], digits: int = 3) -> str:
+    """model x duration pivot over runtime rows ("time (mean)" seconds),
+    the reference's speed pretty-table (run_speed_eval.py:34-50)."""
+    cells: dict[str, dict[float, float]] = defaultdict(dict)
+    durations: list[float] = []
+    for r in records:
+        v = r.get("time (mean)", r.get("mean"))
+        if v is None or "duration" not in r:
+            continue
+        d = float(r["duration"])
+        cells[str(r.get("model", "?"))][d] = v
+        if d not in durations:
+            durations.append(d)
+    if not cells:
+        return "(no records)"
+    durations.sort()
+    header = "| model | " + " | ".join(f"{d:g} s" for d in durations) + " |"
+    sep = "|" + "---|" * (len(durations) + 1)
+    lines = [header, sep]
+    for model in sorted(cells):
+        row = [model] + [
+            f"{cells[model][d]:.{digits}f}" if d in cells[model] else "-"
+            for d in durations
+        ]
+        lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)
+
+
 def main(argv=None) -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--metric_jsonl", required=True)
     ap.add_argument("--metric", default="cer_norm")
+    ap.add_argument("--runtime", action="store_true",
+                    help="pivot runtime_pipeline.jsonl rows instead "
+                    "(model x duration, mean seconds)")
     arg = ap.parse_args(argv)
-    print(pivot_table(load_metrics(arg.metric_jsonl), arg.metric))
+    records = load_metrics(arg.metric_jsonl)
+    if arg.runtime:
+        print(runtime_pivot_table(records))
+    else:
+        print(pivot_table(records, arg.metric))
 
 
 if __name__ == "__main__":

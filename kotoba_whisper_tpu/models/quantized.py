@@ -5,8 +5,11 @@ reference serves the teacher in bf16, run_pseudo_labelling.py:224-231): the
 v5e MXU executes s8xs8->s32 matmuls at twice the bf16 rate, and the
 encoder's GEMMs already run at ~92% of the calibrated bf16 ceiling
 (docs/DESIGN.md), so halving the MXU time of the projections is the one
-remaining large lever on the encoder pass. On the decode side the win is
-HBM: the per-step weight streaming of the autoregressive decoder halves.
+remaining large lever on the encoder pass. Measured end to end it lifts
+the fixed-48 pseudo-label pipeline 725 -> 787 audio-s/s/chip; the win
+lands mostly in the encoder GEMMs — the decode-step ablation
+(tools/dec_exp.py) shows the decoder's per-step weight streaming is
+largely overlapped by XLA at B=48 (docs/DESIGN.md round-4 attribution).
 
 Scheme (per dense projection y = x @ W + b):
   - weights:  static per-out-channel absmax int8 — W_q[i, o] with

@@ -428,3 +428,20 @@ def test_speed_eval_reference_schema(tmp_path):
     assert len(row["time (all)"]) == 2
     assert row["max_length"] == 32 and "device" in row
     assert recs[0]["trials"] == 2
+
+
+def test_runtime_pivot_table():
+    """model x duration markdown pivot over runtime rows — the speed
+    harness's pretty-table (run_speed_eval.py:34-50)."""
+    from kotoba_whisper_tpu.eval.report import runtime_pivot_table
+
+    rows = [
+        {"model": "a", "duration": 10, "time (mean)": 0.5},
+        {"model": "a", "duration": 300, "time (mean)": 1.25},
+        {"model": "b", "duration": 10, "mean": 0.25},
+    ]
+    t = runtime_pivot_table(rows)
+    lines = t.splitlines()
+    assert lines[0] == "| model | 10 s | 300 s |"
+    assert "| a | 0.500 | 1.250 |" in t
+    assert "| b | 0.250 | - |" in t
