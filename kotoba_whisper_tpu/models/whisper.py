@@ -373,7 +373,13 @@ def init_cache(
             zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
             zscale, zscale, ck_s, cv_s,
         )
-    cross_k, cross_v = jax.vmap(cross_kv, in_axes=0, out_axes=0)(dec["layers"])
+    # Serialize per layer like the quantized branch above: an all-layers
+    # vmap materializes the fused kv_proj output for every layer at once
+    # (bf16 (L,B,1500,2*D) — 6.9 GB at L=32, B=30), which OOMed the
+    # B=30 bf16-KV long-form config on a 16 GB v5e. lax.map caps the
+    # temp at one layer's worth; init runs once per batch, off the
+    # decode hot loop.
+    cross_k, cross_v = jax.lax.map(cross_kv, dec["layers"])
     zeros = jnp.zeros(
         (cfg.decoder_layers, b, capacity, cfg.d_model), compute_dtype
     )
