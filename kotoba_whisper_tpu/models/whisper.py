@@ -373,13 +373,22 @@ def init_cache(
             zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
             zscale, zscale, ck_s, cv_s,
         )
-    # Serialize per layer like the quantized branch above: an all-layers
-    # vmap materializes the fused kv_proj output for every layer at once
-    # (bf16 (L,B,1500,2*D) — 6.9 GB at L=32, B=30), which OOMed the
-    # B=30 bf16-KV long-form config on a 16 GB v5e. lax.map caps the
-    # temp at one layer's worth; init runs once per batch, off the
-    # decode hot loop.
-    cross_k, cross_v = jax.lax.map(cross_kv, dec["layers"])
+    # An all-layers vmap materializes the fused kv_proj output for every
+    # layer at once — bf16 (L,B,1500,2*D) ≈ 6.9 GB at L=32, B=30 — which
+    # OOMed the B=30 bf16-KV long-form config on a 16 GB v5e. Serialize
+    # per layer (like the quantized branch above) only when that temp is
+    # big: the lax.map serialization costs ~100 ms extra init latency at
+    # small B (measured, eval_pipeline/runtime_pipeline.tpu-v5e.jsonl
+    # pre/post A/B), so small-batch decode keeps the fused vmap.
+    t_src = encoder_out.shape[1]
+    temp_bytes = (
+        cfg.decoder_layers * b * t_src * 2 * cfg.d_model
+        * jnp.dtype(compute_dtype).itemsize
+    )
+    if temp_bytes > 2 << 30:
+        cross_k, cross_v = jax.lax.map(cross_kv, dec["layers"])
+    else:
+        cross_k, cross_v = jax.vmap(cross_kv)(dec["layers"])
     zeros = jnp.zeros(
         (cfg.decoder_layers, b, capacity, cfg.d_model), compute_dtype
     )
