@@ -346,13 +346,23 @@ def init_cache(
             v_flat = dense(ea["v_proj"], encoder_out)
         return k_flat, v_flat
 
+    # Size-gate the per-layer serialization of the cross-KV projection:
+    # an all-layers vmap materializes the full-precision kv_proj output
+    # of every layer at once (bf16 (L,B,1500,2*D) — >11 GB at L=32,
+    # B=48; 6.9 GB at B=30), which compile-OOMs a 16 GB v5e, while
+    # lax.map costs ~100 ms extra init latency at small batch (measured
+    # pre/post A/B on the speed table). Large temps serialize; small
+    # batches keep the fused vmap. Init runs once per batch, off the
+    # decode hot loop.
+    temp_bytes = (
+        cfg.decoder_layers * b * encoder_out.shape[1] * 2 * cfg.d_model
+        * jnp.dtype(compute_dtype).itemsize
+    )
+    layer_map = jax.lax.map if temp_bytes > 2 << 30 else (
+        lambda f, xs: jax.vmap(f)(xs)
+    )
+
     if kv_dtype in ("int4", "int8"):
-        # Quantize per layer under lax.map, not an all-layers vmap: the
-        # full-precision cross-KV of all 32 layers is a >11 GB temp at
-        # B=48 (the fused kv_proj output, or the fp32 per-head reshape in
-        # int4 mode — both defeat XLA's fusion and compile-OOM on v5e).
-        # Serializing layers caps the temp at 1/L of that; init runs once
-        # per batch, off the decode hot loop.
         l, h = cfg.decoder_layers, cfg.decoder_attention_heads
 
         def cross_kv_q(lp):
@@ -364,7 +374,7 @@ def init_cache(
                 )
             return (*quantize_kv_rows(k_flat), *quantize_kv_rows(v_flat))
 
-        cross_k, ck_s, cross_v, cv_s = jax.lax.map(cross_kv_q, dec["layers"])
+        cross_k, ck_s, cross_v, cv_s = layer_map(cross_kv_q, dec["layers"])
         scale_w = h if kv_dtype == "int4" else 1
         scale_dt = jnp.bfloat16 if kv_dtype == "int4" else jnp.float32
         zeros = jnp.zeros((l, b, capacity, cfg.d_model), jnp.int8)
@@ -373,22 +383,7 @@ def init_cache(
             zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
             zscale, zscale, ck_s, cv_s,
         )
-    # An all-layers vmap materializes the fused kv_proj output for every
-    # layer at once — bf16 (L,B,1500,2*D) ≈ 6.9 GB at L=32, B=30 — which
-    # OOMed the B=30 bf16-KV long-form config on a 16 GB v5e. Serialize
-    # per layer (like the quantized branch above) only when that temp is
-    # big: the lax.map serialization costs ~100 ms extra init latency at
-    # small B (measured, eval_pipeline/runtime_pipeline.tpu-v5e.jsonl
-    # pre/post A/B), so small-batch decode keeps the fused vmap.
-    t_src = encoder_out.shape[1]
-    temp_bytes = (
-        cfg.decoder_layers * b * t_src * 2 * cfg.d_model
-        * jnp.dtype(compute_dtype).itemsize
-    )
-    if temp_bytes > 2 << 30:
-        cross_k, cross_v = jax.lax.map(cross_kv, dec["layers"])
-    else:
-        cross_k, cross_v = jax.vmap(cross_kv)(dec["layers"])
+    cross_k, cross_v = layer_map(cross_kv, dec["layers"])
     zeros = jnp.zeros(
         (cfg.decoder_layers, b, capacity, cfg.d_model), compute_dtype
     )
