@@ -367,9 +367,9 @@ def run_train_b8() -> dict:
     compile_s = time.perf_counter() - t_compile
     # Steady-state methodology: training dispatches steps back-to-back
     # with no host readbacks, so each trial chains `chain` steps and
-    # fences ONCE — a per-step readback would serialize the remote
-    # tunnel's dispatch latency into every step and under-report
-    # sustained throughput by ~5% on this chip.
+    # fences ONCE — a per-step readback serializes the remote tunnel's
+    # dispatch latency into every step and under-reports sustained
+    # throughput by ~11% on this chip (measured: 389 -> 350 ms/step).
     chain = int(os.environ.get("KWT_BENCH_TRAIN_CHAIN", "4"))
     times = []
     for _ in range(trials):
