@@ -319,7 +319,8 @@ def run_train_b8() -> dict:
     t_cfg = PRESETS["large-v3"]
     s_cfg = PRESETS["distil-large-v3"]
     feat = FeatureConfig(n_mels=t_cfg.num_mel_bins)
-    batch, label_len, trials = 8, 128, 3
+    batch = int(os.environ.get("KWT_BENCH_TRAIN_BATCH", "8"))
+    label_len, trials = 128, 3
 
     teacher = whisper.init_params(jax.random.key(0), t_cfg)
     teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), teacher)
