@@ -188,7 +188,10 @@ def run_stream_real(smoke: bool = False) -> dict:
     opts = GenerateOptions(prompt_ids=prompt, max_length=max_len)
     stops = _realistic_stops(n, len(prompt), rng)
 
-    scfg = StreamConfig(batch=window, encode_batch=ebatch, steps_per_round=8)
+    scfg = StreamConfig(
+        batch=window, encode_batch=ebatch,
+        steps_per_round=int(os.environ.get("KWT_BENCH_SPR", "8")),
+    )
     # Pallas single-step attention for the refill encoder (1.31x the XLA
     # attention on the encoder pass, docs/DESIGN.md) — the stream is
     # encode-bound at realistic label lengths

@@ -5,6 +5,12 @@
 # synthetic audio x attention implementations x model zoo, n-trial mean/std
 # with warmup discard. The reference sweeps sdpa vs flash-attn-2; the TPU
 # equivalents are the XLA and Pallas attention paths (--attn).
+#
+# A measured v5e-1 table (large-v3 + distil student, bf16 and int8-KV+w8a8
+# serving configs) is committed at eval_pipeline/runtime_pipeline.tpu-v5e.jsonl
+# with the BASELINE.md comparison against the reference's cuda:0 numbers.
+# Pivot it with: python -m kotoba_whisper_tpu report \
+#   --metric_jsonl eval_pipeline/runtime_pipeline.tpu-v5e.jsonl --runtime
 set -euo pipefail
 
 MODELS=${MODELS:-/models/whisper-large-v3}
