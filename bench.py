@@ -193,9 +193,13 @@ def run_stream_real(smoke: bool = False) -> dict:
         steps_per_round=int(os.environ.get("KWT_BENCH_SPR", "8")),
     )
     # Pallas single-step attention for the refill encoder (1.31x the XLA
-    # attention on the encoder pass, docs/DESIGN.md) — the stream is
-    # encode-bound at realistic label lengths
-    attn = "pallas" if not smoke else "xla"
+    # attention on the isolated encoder pass, docs/DESIGN.md) — the stream
+    # is encode-bound at realistic label lengths. Env-switchable because
+    # the fixed-48 pipeline measured the OPPOSITE ordering in-pipeline
+    # (fused-qkv XLA attention won); see the round-4 tuning-probe note.
+    attn = os.environ.get(
+        "KWT_BENCH_STREAM_ATTN", "pallas" if not smoke else "xla"
+    )
     kw = dict(compute_dtype=dtype, kv_dtype=kv, stream=scfg, stop_at=stops,
               attn_impl=attn)
 
