@@ -214,3 +214,31 @@ def test_tp_decode_int8_gemm(setup):
             generate_greedy(p_sharded, cfg, mel_sharded, opts, ST)
         )
     np.testing.assert_array_equal(out, golden)
+
+
+def test_tp_sharded_streaming_beam_matches(setup):
+    """Continuous-batching BEAM decode under a pure-TP mesh (flagship x
+    TP composition): beam groups on the ring window with model-sharded
+    params produce the same tokens as the unsharded lockstep beam."""
+    from kotoba_whisper_tpu.decode.beam import generate_beam
+    from kotoba_whisper_tpu.decode.streaming_beam import (
+        BeamStreamConfig,
+        generate_beam_streaming,
+    )
+
+    cfg, params, mel = setup
+    prompt = (ST.sot, ST.lang_begin + 6, ST.transcribe)
+    opts = GenerateOptions(prompt_ids=prompt, max_length=12)
+    k = 3
+    golden, _ = generate_beam(params, cfg, mel, opts, ST, num_beams=k)
+
+    mesh = build_mesh(MeshConfig(data=1, model=8))
+    with mesh:
+        p_sharded = sharded.place_params(mesh, params, model_sharded=True)
+        out_tok, _ = generate_beam_streaming(
+            p_sharded, cfg, np.asarray(mel), opts, ST,
+            stream=BeamStreamConfig(
+                groups=2, num_beams=k, encode_batch=2, steps_per_round=4
+            ),
+        )
+    np.testing.assert_array_equal(out_tok, np.asarray(golden))
