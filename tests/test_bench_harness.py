@@ -71,3 +71,23 @@ def test_bench_cli_smoke_subprocess():
     assert rec["metric"] == "pseudo_label_audio_seconds_per_s_per_chip"
     assert rec["value"] > 0 and rec["unit"] == "audio-s/s/chip"
     assert "vs_baseline" in rec
+
+
+@pytest.mark.slow
+def test_dec_exp_harness_smoke():
+    """tools/dec_exp.py (the decode-step attribution harness) runs its
+    ablation variants end-to-end on the tiny preset and emits per-variant
+    JSON records."""
+    out = subprocess.run(
+        [sys.executable, "tools/dec_exp.py", "--preset", "test-tiny",
+         "--batch", "2", "--steps", "2", "--trials", "1",
+         "--variants", "full,no_head"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+        env={**__import__("os").environ, "KWT_PLATFORM": "cpu"},
+    )
+    recs = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    assert recs, out.stderr[-500:]
+    final = recs[-1]
+    assert final["full"]["per_step_ms"] > 0
+    assert final["no_head"]["per_step_ms"] > 0

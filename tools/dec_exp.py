@@ -55,9 +55,10 @@ def main() -> None:
     args = ap.parse_args()
 
     os.environ.setdefault("KWT_COMPILE_CACHE", "on")
-    from kotoba_whisper_tpu.utils.backend import enable_compilation_cache
+    from kotoba_whisper_tpu.utils.backend import ensure_backend
 
-    enable_compilation_cache()
+    # honors KWT_PLATFORM=cpu (the CI smoke test) and enables the cache
+    ensure_backend()
 
     from bench import _large_v3_setup
     from kotoba_whisper_tpu.decode.greedy import (
