@@ -213,7 +213,11 @@ def run_stream_real(smoke: bool = False) -> dict:
 
     trials = 1 if smoke else int(os.environ.get("KWT_BENCH_TRIALS", "3"))
 
-    def measure(name: str, pp, gemm: str) -> dict:
+    def measure(name: str, pp, gemm: str, setup_s: float) -> dict:
+        # setup_s is passed per-variant: the second (w8a8) variant's setup
+        # is its quantize pass only, not the bf16 variant's warmup+trials
+        # (ADVICE r4: a single function-level reference point misreported
+        # the committed artifact's timing field).
         # warmup/compile on a prefix of the stream
         t_compile = time.perf_counter()
         generate_greedy_streaming(
@@ -238,20 +242,34 @@ def run_stream_real(smoke: bool = False) -> dict:
                 "mean_stop_tokens": round(float(stops.mean()), 1),
                 "trial_s": [round(t, 3) for t in times],
                 "compile_s": round(compile_s, 1),
-                "setup_s": round(t_compile - t_setup, 1),
+                "setup_s": round(setup_s, 1),
             },
         }
 
-    if smoke or bench_gemm() == "int8":
-        # smoke, or explicit env override (whole run already w8a8)
-        return measure("stream-real", params, bench_gemm())
-    rec = measure("stream-real", params, "compute")
+    if smoke:
+        return measure(
+            "stream-real", params, "compute", time.perf_counter() - t_setup
+        )
+    if bench_gemm() == "int8":
+        # explicit env override: whole run already w8a8 — name the record
+        # by its actual gemm so it never masquerades as the bf16 baseline
+        # config in cross-round comparisons (ADVICE r4).
+        return measure(
+            "stream-real-w8a8", params, "int8",
+            time.perf_counter() - t_setup,
+        )
+    rec = measure(
+        "stream-real", params, "compute", time.perf_counter() - t_setup
+    )
     print(json.dumps(rec), flush=True)
     from kotoba_whisper_tpu.models.quantized import quantize_for_inference
 
+    t_q = time.perf_counter()
     qparams = quantize_for_inference(params)
     params = None  # free the bf16 projections before the w8a8 stream runs
-    return measure("stream-real-w8a8", qparams, "int8")
+    return measure(
+        "stream-real-w8a8", qparams, "int8", time.perf_counter() - t_q
+    )
 
 
 def run_fixed48() -> dict:
@@ -317,8 +335,11 @@ def run_fixed48() -> dict:
         }
 
     if bench_gemm() == "int8" or batch != 48:
-        # explicit env override: a single-variant run at the given shape
-        return measure("fixed-48", params, bench_gemm())
+        # explicit env override: a single-variant run, named by its actual
+        # shape/gemm so it never overwrites the baseline config's record
+        # (ADVICE r4 — cross-round comparability of named records).
+        name = f"fixed-{batch}" + ("-w8a8" if bench_gemm() == "int8" else "")
+        return measure(name, params, bench_gemm())
     rec = measure("fixed-48", params, "compute")
     print(json.dumps(rec), flush=True)
     qparams = quantize_for_inference(params)
@@ -409,7 +430,7 @@ def run_train_b8() -> dict:
         times.append((time.perf_counter() - t0) / chain)
     dt = float(np.min(times))
     return {
-        "config": "train-b8",
+        "config": f"train-b{batch}",
         "value": round(batch * feat.chunk_length_s / dt, 2),
         "detail": {
             "trial_s": [round(t, 3) for t in times],
@@ -438,18 +459,38 @@ def _emit(headline: float, extra: dict) -> None:
 
 def _headline(extra: dict) -> float | None:
     """Best decode config (VERDICT r2 #2: headline must match the winning
-    config); fall back to train if none ran."""
+    config); fall back to train if none ran. Matches by prefix so
+    env-override record names (fixed-64-w8a8, stream-real-w8a8, ...)
+    count too."""
     vals = [
-        extra[n]["value"]
-        for n in ("stream-real", "stream-real-w8a8",
-                  "fixed-48", "fixed-48-w8a8", "fixed-64-w8a8")
-        if n in extra
+        rec["value"] for n, rec in extra.items()
+        if n.startswith(("fixed-", "stream-"))
     ]
     if vals:
         return max(vals)
-    if "train-b8" in extra:
-        return extra["train-b8"]["value"]
-    return None
+    train = [
+        rec["value"] for n, rec in extra.items() if n.startswith("train-")
+    ]
+    return train[0] if train else None
+
+
+def _expected_records() -> dict:
+    """Record names each subprocess is expected to emit, derived from the
+    active env overrides (ADVICE r4: a static set made the second-chance
+    pass re-run override configs forever without ever satisfying it)."""
+    gemm_int8 = os.environ.get("KWT_BENCH_GEMM") == "int8"
+    batch = int(os.environ.get("KWT_BENCH_BATCH", 48))
+    if gemm_int8 or batch != 48:
+        fixed = (f"fixed-{batch}" + ("-w8a8" if gemm_int8 else ""),)
+    else:
+        fixed = ("fixed-48", "fixed-48-w8a8", "fixed-64-w8a8")
+    stream = (
+        ("stream-real-w8a8",) if gemm_int8
+        else ("stream-real", "stream-real-w8a8")
+    )
+    tb = int(os.environ.get("KWT_BENCH_TRAIN_BATCH", "8"))
+    return {"fixed-48": fixed, "stream-real": stream,
+            "train-b8": (f"train-b{tb}",)}
 
 
 def main() -> None:
@@ -561,11 +602,7 @@ def main() -> None:
     # failed gets the remaining TOTAL budget instead of leaving it unspent.
     # Its first attempt populated the persistent compile cache up to where
     # it died, so the retry resumes further along.
-    expected = {
-        "fixed-48": ("fixed-48", "fixed-48-w8a8", "fixed-64-w8a8"),
-        "stream-real": ("stream-real", "stream-real-w8a8"),
-        "train-b8": ("train-b8",),
-    }
+    expected = _expected_records()
     for name in order:
         if all(c in extra for c in expected[name]):
             continue

@@ -47,9 +47,28 @@ def pivot_table(
     return "\n".join(lines)
 
 
+def _runtime_row_key(r: dict) -> str:
+    """Row label for the runtime pivot: model plus any non-default
+    config axes. The committed tpu-v5e JSONL holds bf16 and int8-serving
+    rows under identical model names — keying by model alone silently
+    overwrites the bf16 cells with serving latencies (the reference
+    filters its pretty-table by attention impl instead,
+    run_speed_eval.py:34-50)."""
+    tags = [
+        f"{short}={r[k]}"
+        for k, short in (("gemm_dtype", "gemm"), ("kv_dtype", "kv"))
+        if r.get(k) not in (None, "", "compute")
+    ]
+    model = str(r.get("model", "?"))
+    return f"{model} [{', '.join(tags)}]" if tags else model
+
+
 def runtime_pivot_table(records: list[dict], digits: int = 3) -> str:
-    """model x duration pivot over runtime rows ("time (mean)" seconds),
-    the reference's speed pretty-table (run_speed_eval.py:34-50)."""
+    """model+config x duration pivot over runtime rows ("time (mean)"
+    seconds), the reference's speed pretty-table
+    (run_speed_eval.py:34-50)."""
+    import sys
+
     cells: dict[str, dict[float, float]] = defaultdict(dict)
     durations: list[float] = []
     for r in records:
@@ -57,7 +76,13 @@ def runtime_pivot_table(records: list[dict], digits: int = 3) -> str:
         if v is None or "duration" not in r:
             continue
         d = float(r["duration"])
-        cells[str(r.get("model", "?"))][d] = v
+        key = _runtime_row_key(r)
+        if d in cells[key]:
+            print(
+                f"runtime_pivot_table: duplicate cell ({key!r}, {d:g}s); "
+                "last record wins", file=sys.stderr,
+            )
+        cells[key][d] = v
         if d not in durations:
             durations.append(d)
     if not cells:

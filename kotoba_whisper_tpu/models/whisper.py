@@ -354,9 +354,18 @@ def init_cache(
     # pre/post A/B on the speed table). Large temps serialize; small
     # batches keep the fused vmap. Init runs once per batch, off the
     # decode hot loop.
+    # The quantized paths upcast the per-layer kv_proj output to fp32
+    # inside quantize_kv_heads/quantize_kv_rows, so their real temp is
+    # the fp32 itemsize regardless of compute_dtype — estimating with
+    # bf16 would let a batch just under the threshold pick the fused
+    # vmap with ~2x the budgeted temp (ADVICE r4).
+    temp_itemsize = (
+        4 if kv_dtype in ("int4", "int8")
+        else jnp.dtype(compute_dtype).itemsize
+    )
     temp_bytes = (
         cfg.decoder_layers * b * encoder_out.shape[1] * 2 * cfg.d_model
-        * jnp.dtype(compute_dtype).itemsize
+        * temp_itemsize
     )
     layer_map = jax.lax.map if temp_bytes > 2 << 30 else (
         lambda f, xs: jax.vmap(f)(xs)

@@ -41,6 +41,34 @@ def test_headline_rule():
         "train-b8": {"value": 9999.0},  # train never beats a decode config
     }
     assert _headline(extra) == 787.0
+    # env-override record names still count as decode configs
+    assert _headline({"fixed-64-w8a8": {"value": 826.0},
+                      "train-b16": {"value": 9999.0}}) == 826.0
+    assert _headline({"train-b16": {"value": 701.0}}) == 701.0
+
+
+def test_expected_records_follow_env(monkeypatch):
+    """The second-chance pass must expect the record names the overridden
+    subprocess actually emits (ADVICE r4: a static set re-ran override
+    configs forever and mis-filed their records)."""
+    from bench import _expected_records
+
+    for var in ("KWT_BENCH_GEMM", "KWT_BENCH_BATCH",
+                "KWT_BENCH_TRAIN_BATCH"):
+        monkeypatch.delenv(var, raising=False)
+    exp = _expected_records()
+    assert exp["fixed-48"] == ("fixed-48", "fixed-48-w8a8",
+                               "fixed-64-w8a8")
+    assert exp["stream-real"] == ("stream-real", "stream-real-w8a8")
+    assert exp["train-b8"] == ("train-b8",)
+
+    monkeypatch.setenv("KWT_BENCH_GEMM", "int8")
+    monkeypatch.setenv("KWT_BENCH_BATCH", "64")
+    monkeypatch.setenv("KWT_BENCH_TRAIN_BATCH", "16")
+    exp = _expected_records()
+    assert exp["fixed-48"] == ("fixed-64-w8a8",)
+    assert exp["stream-real"] == ("stream-real-w8a8",)
+    assert exp["train-b8"] == ("train-b16",)
 
 
 def test_stream_smoke_runner():

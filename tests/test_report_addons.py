@@ -445,3 +445,23 @@ def test_runtime_pivot_table():
     assert lines[0] == "| model | 10 s | 300 s |"
     assert "| a | 0.500 | 1.250 |" in t
     assert "| b | 0.250 | - |" in t
+
+
+def test_runtime_pivot_table_config_rows(capsys):
+    """bf16 and int8-serving rows under the same model name get distinct
+    rows instead of last-wins overwrites (ADVICE r4); true duplicates
+    warn on stderr."""
+    from kotoba_whisper_tpu.eval.report import runtime_pivot_table
+
+    rows = [
+        {"model": "m", "duration": 10, "time (mean)": 0.5,
+         "gemm_dtype": "compute", "kv_dtype": "compute"},
+        {"model": "m", "duration": 10, "time (mean)": 0.4,
+         "gemm_dtype": "int8", "kv_dtype": "int8"},
+        {"model": "m", "duration": 10, "time (mean)": 0.45,
+         "gemm_dtype": "int8", "kv_dtype": "int8"},  # true duplicate
+    ]
+    t = runtime_pivot_table(rows)
+    assert "| m | 0.500 |" in t
+    assert "| m [gemm=int8, kv=int8] | 0.450 |" in t
+    assert "duplicate cell" in capsys.readouterr().err
