@@ -375,9 +375,10 @@ def run_train_b8() -> dict:
     teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), teacher)
     student = whisper.init_params(jax.random.key(1), s_cfg)
 
+    mb = int(os.environ.get("KWT_BENCH_TRAIN_MB", "1"))
     dc = distill.DistillConfig(
         kl_weight=1.0, temperature=2.0, freeze_encoder=True,
-        share_hidden_states=True, num_microbatches=1,
+        share_hidden_states=True, num_microbatches=mb,
         compute_dtype=jnp.bfloat16,
     )
     tx, sched = optim.make_optimizer(student, lr=1e-4, warmup_steps=500)

@@ -105,6 +105,38 @@ def load_generation_defaults(model_spec: str) -> dict[str, Any]:
     return defaults
 
 
+def add_distributed_flags(ap) -> None:
+    """Multi-host process-group flags shared by the stage drivers — the
+    `accelerate launch --multi_gpu` equivalent (SURVEY.md §5.8). Each
+    process of a multi-host job runs the same driver command plus these
+    three flags (or inherits a cluster env jax.distributed can read)."""
+    ap.add_argument("--coordinator_address", default=None,
+                    help="host:port of process 0 (jax.distributed "
+                    "rendezvous); enables multi-process mode")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+
+
+def init_distributed(arg) -> bool:
+    """Join the process group BEFORE any jax device use (the platform pin
+    is applied first so the coordination service binds the right
+    backend). Returns True when running multi-process."""
+    if getattr(arg, "coordinator_address", None) is None:
+        return False
+    from kotoba_whisper_tpu.parallel import multihost
+    from kotoba_whisper_tpu.utils.backend import apply_platform_pin
+
+    apply_platform_pin()
+    multihost.initialize(
+        coordinator_address=arg.coordinator_address,
+        num_processes=arg.num_processes,
+        process_id=arg.process_id,
+    )
+    import jax
+
+    return jax.process_count() > 1
+
+
 def write_jsonl(path: str, rows: Iterator[dict[str, Any]]) -> int:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     n = 0

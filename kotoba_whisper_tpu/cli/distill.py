@@ -56,19 +56,27 @@ def main(argv=None) -> None:
     ap.add_argument("--no_resume", dest="resume_from_checkpoint",
                     action="store_false")
     ap.add_argument("--wandb_project", default=None)
+    from kotoba_whisper_tpu.cli import common
+
+    common.add_distributed_flags(ap)
     arg = ap.parse_args(argv)
     if not (arg.data_dir or arg.train_splits):
         ap.error("one of --data_dir / --train_splits is required")
 
     import jax
 
+    # multi-host training: join the process group before any device use.
+    # The mesh below then spans all processes (DP across hosts by
+    # default; --mesh_model_axis with a global mesh shards the teacher
+    # over it), the loader feeds each host its order[process::count]
+    # slice, and Orbax checkpointing coordinates the sharded save.
+    multiproc = common.init_distributed(arg)
+
     from kotoba_whisper_tpu.utils.backend import ensure_backend
 
     ensure_backend()
     import jax.numpy as jnp
     import numpy as np
-
-    from kotoba_whisper_tpu.cli import common
     from kotoba_whisper_tpu.core.mesh import MeshConfig, build_mesh
     from kotoba_whisper_tpu.data.collator import CollatorConfig, collate_labels
     from kotoba_whisper_tpu.data.shards import resolve_split_dirs
@@ -164,7 +172,17 @@ def main(argv=None) -> None:
             sharded.replicate(mesh, state.step),
         )
 
-        logger = MetricLogger(arg.output_dir, wandb_project=arg.wandb_project)
+        from kotoba_whisper_tpu.parallel import multihost
+
+        # rank-aware logging (the reference gates trackers to the main
+        # process, run_distillation.py:404-407); a shared output_dir must
+        # not be written by every rank
+        logger = MetricLogger(
+            arg.output_dir if multihost.is_main_process() else None,
+            wandb_project=(
+                arg.wandb_project if multihost.is_main_process() else None
+            ),
+        )
         ccfg = CollatorConfig(
             max_target_length=arg.max_label_length,
             decoder_start_token_id=s_cfg.decoder_start_token_id,
@@ -175,10 +193,14 @@ def main(argv=None) -> None:
         last_pos = pos
 
         def save(state, pos_next: DataPosition) -> None:
+            # collective: every rank participates in the Orbax sharded
+            # save; only rank 0 writes the (tiny) data-position sidecar
             ck = checkpoint.save_train_state(
                 arg.output_dir, state, pos_next.epoch, arg.save_total_limit
             )
-            pos_next.save(ck)
+            if multihost.is_main_process():
+                pos_next.save(ck)
+            multihost.barrier("ckpt_saved")
 
         for bpos, rows_b, feats_b in loader.batches(pos):
             lab = collate_labels([r["labels"] for r in rows_b], ccfg)
@@ -208,9 +230,14 @@ def main(argv=None) -> None:
                 break
 
         save(state, loader.next_position(last_pos))
-        checkpoint.export_hf_model(
-            f"{arg.output_dir}/final", jax.device_get(state.params), s_cfg
-        )
+        # reassemble sharded params on host (collective when sharded
+        # across processes), export on rank 0 only
+        host_params = multihost.host_copy(state.params)
+        if multihost.is_main_process():
+            checkpoint.export_hf_model(
+                f"{arg.output_dir}/final", host_params, s_cfg
+            )
+        multihost.barrier("export_done")
         logger.close()
         print(f"training done at step {step}; model exported to {arg.output_dir}/final")
 

@@ -74,16 +74,24 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh_model_axis", type=int, default=1,
                     help="tensor-parallel factor for the teacher (sharded "
                     "decode; combine with --num_devices)")
+    from kotoba_whisper_tpu.cli import common
+
+    common.add_distributed_flags(ap)
     arg = ap.parse_args(argv)
 
     import jax
+
+    # multi-host: join the process group before any device use; each
+    # process then decodes its own tar-shard slice on its LOCAL devices
+    # and rank 0 merges the per-rank outputs (the reference's DP generate
+    # loop with gather_for_metrics, run_pseudo_labelling.py:330-345,
+    # restructured as idempotent per-host files)
+    multiproc = common.init_distributed(arg)
 
     from kotoba_whisper_tpu.utils.backend import ensure_backend
 
     ensure_backend()
     import jax.numpy as jnp
-
-    from kotoba_whisper_tpu.cli import common
     from kotoba_whisper_tpu.core.config import FeatureConfig
     from kotoba_whisper_tpu.data import reazon
     from kotoba_whisper_tpu.data.collator import CollatorConfig, collate_audio
@@ -139,9 +147,13 @@ def main(argv=None) -> None:
         from kotoba_whisper_tpu.parallel import sharded
 
         n_dev = arg.num_devices * arg.mesh_model_axis
+        # multi-process: DP-per-host — mesh over LOCAL devices only (each
+        # host runs an independent decode program over its tar slice;
+        # jax.devices() would return the global pool)
+        pool = jax.local_devices() if multiproc else jax.devices()
         mesh = build_mesh(
             MeshConfig(data=arg.num_devices, model=arg.mesh_model_axis),
-            jax.devices()[:n_dev],
+            pool[:n_dev],
         )
         params = sharded.place_params(
             mesh, params, model_sharded=arg.mesh_model_axis > 1
@@ -185,11 +197,23 @@ def main(argv=None) -> None:
         if arg.chunk_lo is not None and arg.chunk_hi is not None
         else None
     )
-    utts = reazon.iter_dataset_dir(arg.dataset_dir, chunk_range=chunk_range)
+    shard_slice = (
+        (jax.process_index(), jax.process_count()) if multiproc else None
+    )
+    utts = reazon.iter_dataset_dir(
+        arg.dataset_dir, chunk_range=chunk_range, shard_slice=shard_slice
+    )
 
-    os.makedirs(arg.output_dir, exist_ok=True)
-    jsonl_path = os.path.join(arg.output_dir, "pseudo_labels.jsonl")
-    csv_path = os.path.join(arg.output_dir, "pseudo_labels.csv")
+    # multi-process: each rank writes its own subdir (idempotent per-host
+    # files); rank 0 merges after the final barrier
+    out_dir = (
+        os.path.join(arg.output_dir, f"rank-{jax.process_index()}")
+        if multiproc
+        else arg.output_dir
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    jsonl_path = os.path.join(out_dir, "pseudo_labels.jsonl")
+    csv_path = os.path.join(out_dir, "pseudo_labels.csv")
     tp = Throughput(n_chips=jax.device_count())
     tp.start()
     n_done = 0
@@ -358,10 +382,49 @@ def main(argv=None) -> None:
 
     n = common.write_jsonl(jsonl_path, rows())
     rate = tp.rate()
+    if multiproc:
+        from kotoba_whisper_tpu.parallel import multihost
+
+        multihost.barrier("pseudo_label_done")
+        if multihost.is_main_process():
+            n = _merge_rank_outputs(
+                arg.output_dir, jax.process_count(), common
+            )
+        multihost.barrier("pseudo_label_merged")
     print(
         f"pseudo-labelled {n} utterances -> {jsonl_path} "
         f"({rate:.1f} audio-s/s/chip)"
     )
+
+
+def _merge_rank_outputs(output_dir: str, n_ranks: int, common) -> int:
+    """Merge rank-K subdir outputs into top-level files, ordered by
+    utterance name (deterministic regardless of host count — the
+    gather_for_metrics contract of run_pseudo_labelling.py:341 without a
+    lockstep collective, so ragged per-host shard sizes can't deadlock)."""
+    records = []
+    for k in range(n_ranks):
+        records.extend(common.read_jsonl(
+            os.path.join(output_dir, f"rank-{k}", "pseudo_labels.jsonl")
+        ))
+    records.sort(key=lambda r: r["name"])
+    n = common.write_jsonl(
+        os.path.join(output_dir, "pseudo_labels.jsonl"), iter(records)
+    )
+    csv_rows = []
+    for k in range(n_ranks):
+        with open(os.path.join(output_dir, f"rank-{k}",
+                               "pseudo_labels.csv"), newline="") as f:
+            rd = csv.reader(f)
+            next(rd, None)  # header
+            csv_rows.extend(rd)
+    csv_rows.sort(key=lambda r: r[0])
+    with open(os.path.join(output_dir, "pseudo_labels.csv"), "w",
+              newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file_id", "whisper_transcript"])
+        w.writerows(csv_rows)
+    return n
 
 
 if __name__ == "__main__":

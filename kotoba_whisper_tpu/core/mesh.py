@@ -24,6 +24,15 @@ MODEL_AXIS = "model"
 class MeshConfig:
     data: int = -1   # -1: all remaining devices
     model: int = 1
+    # Lay the model axis across process boundaries instead of within
+    # them. Default (False) gives the production topology — DP across
+    # hosts, TP within a host, model-axis collectives riding ICI. True
+    # puts each model group one-device-per-process, so TP collectives
+    # (psum on row-parallel matmuls, cache gathers) cross the host
+    # boundary — the topology for a teacher too big for one host's HBM,
+    # and the one where mesh-reshape/addressable-shard bugs live
+    # (VERDICT r4 #1).
+    model_across_processes: bool = False
 
     def resolve(self, n_devices: int) -> tuple[int, int]:
         model = self.model
@@ -38,7 +47,14 @@ class MeshConfig:
 def build_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     data, model = cfg.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(data, model)
+    if cfg.model_across_processes:
+        # jax.devices() orders by process; reshape(model, data).T strides
+        # the model axis across that order, so model group j holds device
+        # j of every process block (2 procs x 4 devs, model=2 ->
+        # groups {0,4},{1,5},{2,6},{3,7}).
+        dev_array = np.asarray(devices).reshape(model, data).T
+    else:
+        dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

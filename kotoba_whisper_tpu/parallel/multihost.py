@@ -33,6 +33,13 @@ def initialize(
     if num_processes is None and "JAX_NUM_PROCESSES" not in os.environ:
         if coordinator_address is None:
             return  # single-process
+    try:
+        # CPU process groups (tests, dev boxes) need an explicit
+        # cross-process collectives transport; TPU backends ignore it.
+        if str(jax.config.jax_platforms or "").startswith("cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -88,6 +95,33 @@ def pad_across_processes(
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, m - x.shape[axis])
     return np.pad(x, pad, constant_values=pad_value)
+
+
+def host_copy(tree):
+    """Host-numpy copy of a (possibly multi-process-sharded) pytree.
+
+    Single-process: plain device_get. Multi-process: leaves whose shards
+    span processes are reassembled to the full global value on every host
+    via a replicating reshard (the collective the HF-export and
+    metric-logging paths need before touching numpy — a bare device_get
+    raises on non-addressable shards)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            mesh = x.sharding.mesh
+            from jax.sharding import PartitionSpec
+
+            return np.asarray(
+                multihost_utils.global_array_to_host_local_array(
+                    x, mesh, PartitionSpec()
+                )
+            )
+        return np.asarray(x)
+
+    return jax.tree.map(one, tree)
 
 
 def shard_for_host(items: Sequence[T]) -> list[T]:

@@ -16,12 +16,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from kotoba_whisper_tpu.core import mesh as meshlib
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    import jax as _jax
+
+    return _jax.process_count() > 1 and (
+        len({d.process_index for d in mesh.devices.flat}) > 1
+    )
+
+
 def place_params(mesh: Mesh, params: Any, model_sharded: bool = False) -> Any:
-    """Device-put params: replicated (pure DP) or model-axis sharded (TP)."""
+    """Device-put params: replicated (pure DP) or model-axis sharded (TP).
+
+    Multi-process (jax.distributed): every process holds the same host
+    value (same-seed init or same checkpoint), and each materializes only
+    its addressable shards via make_array_from_callback — `device_put` to
+    a sharding that spans processes would need backend cross-host
+    transfers (unsupported on CPU/gloo and on single-host TPU plugins)
+    and trips buffer-reuse hazards when a leaf appears twice in the tree
+    (tied embeddings)."""
     if model_sharded:
         shardings = meshlib.shardings_for_params(mesh, params)
     else:
         shardings = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    if _spans_processes(mesh):
+        import numpy as np
+
+        def put(x, sh):
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sh, lambda idx: host[idx]
+            )
+
+        return jax.tree.map(put, params, shardings)
     return jax.device_put(params, shardings)
 
 
@@ -32,8 +58,10 @@ def place_batch(mesh: Mesh, batch: Any) -> Any:
     Multi-process (jax.distributed): each host passes its LOCAL shard of
     the batch (the train/loader.py `order[process::count]` slice — the
     accelerate dataloader-sharding equivalent) and the global array is
-    assembled from per-process data without any cross-host transfer."""
-    multiproc = jax.process_count() > 1
+    assembled from per-process data without any cross-host transfer.
+    A mesh over local devices only (DP-per-host decode) keeps the plain
+    device_put path even under a process group."""
+    multiproc = _spans_processes(mesh)
 
     def put(x):
         spec = P(meshlib.DATA_AXIS, *([None] * (x.ndim - 1)))
@@ -48,4 +76,18 @@ def place_batch(mesh: Mesh, batch: Any) -> Any:
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    return jax.device_put(tree, jax.tree.map(lambda _: NamedSharding(mesh, P()), tree))
+    if _spans_processes(mesh):
+        import numpy as np
+
+        sh = NamedSharding(mesh, P())
+
+        def put(x):
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sh, lambda idx: host[idx]
+            )
+
+        return jax.tree.map(put, tree)
+    return jax.device_put(
+        tree, jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+    )

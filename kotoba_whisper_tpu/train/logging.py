@@ -18,12 +18,17 @@ from typing import Any, Mapping
 class MetricLogger:
     def __init__(
         self,
-        output_dir: str,
+        output_dir: str | None,
         run_name: str = "run",
         wandb_project: str | None = None,
     ):
-        os.makedirs(output_dir, exist_ok=True)
-        self.path = os.path.join(output_dir, f"metrics.{run_name}.jsonl")
+        # output_dir=None: a no-op sink for non-main ranks of a
+        # multi-process job (rank-aware verbosity,
+        # run_distillation.py:404-407)
+        self.path = None
+        if output_dir is not None:
+            os.makedirs(output_dir, exist_ok=True)
+            self.path = os.path.join(output_dir, f"metrics.{run_name}.jsonl")
         self._wandb = None
         if wandb_project and os.environ.get("WANDB_DISABLED", "").lower() not in (
             "1", "true",
@@ -36,6 +41,8 @@ class MetricLogger:
                 self._wandb = None
 
     def log(self, metrics: Mapping[str, Any], step: int, prefix: str = "train") -> None:
+        if self.path is None:
+            return
         record = {f"{prefix}/{k}": _to_py(v) for k, v in metrics.items()}
         record["step"] = step
         record["time"] = time.time()

@@ -45,12 +45,11 @@ def enable_compilation_cache(
         print(f"warning: compilation cache unavailable: {e}", file=sys.stderr)
 
 
-def ensure_backend(allow_cpu_fallback: bool = True) -> str:
-    """Returns the platform actually in use. KWT_PLATFORM=cpu (or any
-    platform string) pins the backend explicitly — needed because this
-    environment's TPU plugin force-selects itself at interpreter start, so
-    a plain JAX_PLATFORMS env var is ignored; pipeline stages that should
-    run on host CPU (filtering, smoke runs of recipes) set this."""
+def apply_platform_pin() -> None:
+    """Apply KWT_PLATFORM / KWT_NUM_CPU_DEVICES config pins WITHOUT
+    touching devices. Multi-process drivers need the pin applied before
+    `jax.distributed.initialize` (which must itself run before the first
+    device query), so this is split out of ensure_backend."""
     import jax
 
     pin = os.environ.get("KWT_PLATFORM")
@@ -59,6 +58,17 @@ def ensure_backend(allow_cpu_fallback: bool = True) -> str:
         n_dev = os.environ.get("KWT_NUM_CPU_DEVICES")
         if pin == "cpu" and n_dev:
             jax.config.update("jax_num_cpu_devices", int(n_dev))
+
+
+def ensure_backend(allow_cpu_fallback: bool = True) -> str:
+    """Returns the platform actually in use. KWT_PLATFORM=cpu (or any
+    platform string) pins the backend explicitly — needed because this
+    environment's TPU plugin force-selects itself at interpreter start, so
+    a plain JAX_PLATFORMS env var is ignored; pipeline stages that should
+    run on host CPU (filtering, smoke runs of recipes) set this."""
+    import jax
+
+    apply_platform_pin()
     enable_compilation_cache()
     try:
         return jax.devices()[0].platform
