@@ -29,6 +29,10 @@ def main(argv=None) -> None:
     ap.add_argument("--language", default="ja")
     ap.add_argument("--task", default="transcribe")
     ap.add_argument("--max_length", type=int, default=128)
+    ap.add_argument("--tokenizer", default=None,
+                    help="tokenizer spec (default: the checkpoint dir's "
+                    "vocab.json/merges.txt; 'byte' for vocab-free "
+                    "rehearsals)")
     arg = ap.parse_args(argv)
 
     import numpy as np
@@ -51,7 +55,7 @@ def main(argv=None) -> None:
         audio, _ = native.decode_audio(f.read(), 16000)
 
     params, cfg = common.load_model(arg.checkpoint)
-    tok = common.load_tokenizer(arg.checkpoint)
+    tok = common.load_tokenizer(arg.tokenizer or arg.checkpoint)
     st = tok.special
     feat = FeatureConfig(n_mels=cfg.num_mel_bins)
 

@@ -133,6 +133,23 @@ def export_hf_model(
     }
     if st is not None:
         gen["no_timestamps_token_id"] = st.no_timestamps
+        # language/task forcing maps: HF generate(language=..., task=...)
+        # resolves through generation_config.lang_to_id / task_to_id
+        # (real whisper checkpoints ship these; required for
+        # cli/parity_check's cross-stack greedy comparison)
+        from kotoba_whisper_tpu.tokenizer.whisper_tokenizer import (
+            LANG_TO_INDEX,
+        )
+
+        gen["is_multilingual"] = True
+        gen["lang_to_id"] = {
+            f"<|{code}|>": st.lang_begin + idx
+            for code, idx in LANG_TO_INDEX.items()
+            if idx < st.n_langs
+        }
+        gen["task_to_id"] = {
+            "transcribe": st.transcribe, "translate": st.translate,
+        }
     if generation_defaults:
         gen.update(generation_defaults)
     with open(os.path.join(path, "generation_config.json"), "w") as f:

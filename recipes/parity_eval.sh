@@ -35,6 +35,25 @@ for ds in ja_asr.jsut_basic5000 ja_asr.reazonspeech_test ja_asr.common_voice_8_0
   done
 done
 
+# Cross-stack parity gate: when a sample audio file is provided, compare
+# mel/encoder/logits/greedy-tokens of every HF-layout checkpoint against
+# the torch+transformers stack (cli/parity_check; SURVEY §7.2's
+# token-for-token gate). Random-weight rehearsals may tie-break argmax
+# differently at fp tolerance — set PARITY_STRICT=0 to record instead of
+# gate.
+if [ -n "${PARITY_AUDIO:-}" ]; then
+  for m in $MODELS; do
+    [ -f "$m/config.json" ] || continue
+    if ! python -m kotoba_whisper_tpu.cli.parity_check \
+        --checkpoint "$m" --audio "$PARITY_AUDIO" \
+        --tokenizer "$TOKENIZER" \
+        --language ja --max_length "${PARITY_MAX_LENGTH:-32}"; then
+      [ "${PARITY_STRICT:-1}" = "1" ] && exit 1
+      echo "parity_check: token mismatch recorded (PARITY_STRICT=0)"
+    fi
+  done
+fi
+
 python -m kotoba_whisper_tpu.eval.report --metric_jsonl "$OUT/metric.ja.transcribe.jsonl" || true
 python -m kotoba_whisper_tpu.cli.eval_diff \
   --ours "$OUT" --reference "$REF_EVAL" --tolerance "$TOLERANCE"
