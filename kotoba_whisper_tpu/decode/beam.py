@@ -96,15 +96,14 @@ def generate_beam(
         params, cfg, input_features,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
     )
-    # expand encoder states over beams: (B, K, T, D) -> (B*K, T, D)
-    enc_beams = _flatten_beams(
-        jnp.broadcast_to(
-            encoder_out[:, None], (b, k) + encoder_out.shape[1:]
-        )
-    )
+    # cross-KV is hypothesis-independent: build it once per GROUP and let
+    # decode(beam_size=k) fan each group's beam queries over it — the
+    # per-step cross-KV HBM stream (the dominant beam decode cost) and
+    # the cache footprint shrink by k vs the replicated layout, and the
+    # beam reorder below never touches cross-KV
     cache = whisper.init_cache(
-        params, cfg, enc_beams, capacity=max_len,
-        compute_dtype=compute_dtype, kv_dtype=kv_dtype,
+        params, cfg, encoder_out, capacity=max_len,
+        compute_dtype=compute_dtype, kv_dtype=kv_dtype, beam_size=k,
     )
 
     tokens = jnp.full((b, k, max_len), pad, jnp.int32)
@@ -113,7 +112,7 @@ def generate_beam(
     if p > 1:
         _, cache = whisper.decode(
             params, cfg, _flatten_beams(tokens)[:, : p - 1], cache=cache,
-            compute_dtype=compute_dtype, attn_impl=attn_impl,
+            compute_dtype=compute_dtype, attn_impl=attn_impl, beam_size=k,
         )
 
     # only beam 0 is live initially (all beams identical -> avoid dup hyps)
@@ -145,7 +144,7 @@ def generate_beam(
         last = jax.lax.dynamic_slice_in_dim(flat_tokens, cur_len - 1, 1, axis=1)
         logits, new_cache = whisper.decode(
             params, cfg, last, cache=cache,
-            compute_dtype=compute_dtype, attn_impl=attn_impl,
+            compute_dtype=compute_dtype, attn_impl=attn_impl, beam_size=k,
         )
         # HF order: log_softmax FIRST, rules on the log-probs (no
         # renormalization over the unmasked set)

@@ -31,10 +31,13 @@ TPU-first structure (all static shapes, one jit program per phase):
   reach the group's stop length; the host harvests best-finished (or
   best-alive) per group, exactly generate_beam's output selection.
 
-Output is token- AND score-exact vs generate_beam per utterance
-(tests/test_streaming_beam.py) for any window/refill geometry: beam
-groups are independent of each other, and each group's step sequence is
-the lockstep algorithm's.
+Output is token-exact vs generate_beam per utterance, with scores equal
+to float32 ulp (tests/test_streaming_beam.py), for any window/refill
+geometry: beam groups are independent of each other, and each group's
+step sequence is the lockstep algorithm's. (The shared-cross-KV layout
+fans each group's beam queries over one KV row; that attention's
+reduction tiling depends on the group count, so scores can differ from
+the lockstep program shape by an ulp.)
 """
 from __future__ import annotations
 
@@ -72,7 +75,8 @@ class BeamStreamConfig:
     # scores can drift from lockstep by ~1 ulp (tokens still match unless
     # a top-k tie sits within that ulp). "scatter" writes each row's KV
     # at its own position (slot = sequence index, the lockstep order):
-    # bitwise token AND score parity with generate_beam, at the cost of a
+    # bitwise TOKEN parity with generate_beam (scores to f32 ulp — the
+    # shared-cross-KV attention tiles by group count), at the cost of a
     # per-row scatter per step (measured slower for greedy streaming,
     # tools/stream_exp.py).
 
@@ -112,12 +116,14 @@ def _empty_state(
     g: int, k: int, compute_dtype, attn_impl, kv_dtype,
 ) -> BeamStreamState:
     w = g * k
+    # cross-KV held once per GROUP (shared across the K beams; see
+    # init_cache beam_size) — self-KV at full w rows
     enc = jnp.zeros(
-        (w, cfg.max_source_positions, cfg.d_model), compute_dtype
+        (g, cfg.max_source_positions, cfg.d_model), compute_dtype
     )
     cache = whisper.init_cache(
         params, cfg, enc, capacity=opts.max_length,
-        compute_dtype=compute_dtype, kv_dtype=kv_dtype,
+        compute_dtype=compute_dtype, kv_dtype=kv_dtype, beam_size=k,
     )
     cache = cache._replace(length=jnp.zeros((w,), jnp.int32))
     return pin_default_layout(BeamStreamState(
@@ -153,17 +159,16 @@ def _refill_impl_beam(
     e = pool_stop.shape[0]
     p = len(opts.prompt_ids)
     enc = enc.astype(compute_dtype)
-    enc_beams = jnp.broadcast_to(
-        enc[:, None], (e, k) + enc.shape[1:]
-    ).reshape((e * k,) + enc.shape[1:])
+    # cross-KV computed once per utterance (shared across its K beams);
+    # the prompt prefill fans beam queries over it via decode(beam_size)
     pool_cache = whisper.init_cache(
-        params, cfg, enc_beams, capacity=max(p - 1, 1),
-        compute_dtype=compute_dtype, kv_dtype=kv_dtype,
+        params, cfg, enc, capacity=max(p - 1, 1),
+        compute_dtype=compute_dtype, kv_dtype=kv_dtype, beam_size=k,
     )
     if p > 1:
         _, pool_cache = whisper.decode(
             params, cfg, pool_tokens[:, : p - 1], cache=pool_cache,
-            compute_dtype=compute_dtype, attn_impl=attn_impl,
+            compute_dtype=compute_dtype, attn_impl=attn_impl, beam_size=k,
         )
 
     free = state.done | ~state.active
@@ -171,7 +176,8 @@ def _refill_impl_beam(
     ridx = (gidx[:, None] * k + jnp.arange(k)).reshape(-1)  # (E*K,) rows
 
     def put(dst, src):
-        return dst.at[:, ridx].set(src)
+        # cross-KV buffers: one row per GROUP
+        return dst.at[:, gidx].set(src)
 
     cap = state.tokens.shape[1]
     # self-KV prefix destination slots: position-order 0..p-2 in scatter
@@ -331,7 +337,7 @@ def _steps(
         logits, cache = whisper.decode(
             params, cfg, last, cache=st.cache,
             ring_pos=st.ring if use_ring else None,
-            compute_dtype=compute_dtype, attn_impl=attn_impl,
+            compute_dtype=compute_dtype, attn_impl=attn_impl, beam_size=k,
         )
         new_count = cache.length                 # (W,) = count + 1
         # lockstep-beam correspondence: cur_len (index the new token is

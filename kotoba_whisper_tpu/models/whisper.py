@@ -332,9 +332,18 @@ def init_cache(
     *,
     compute_dtype=jnp.float32,
     kv_dtype: str = "compute",  # "compute" | "int8" | "int4"
+    beam_size: int = 1,
 ) -> KVCache:
+    """beam_size > 1: encoder_out holds one row per beam GROUP; the
+    cross-KV projections are computed and stored once per group (they are
+    hypothesis-independent) while the self-KV buffers get group*beam
+    rows. Beam decode's dominant HBM cost is streaming the cross-KV every
+    step — sharing it across beams divides that traffic (and the cache
+    footprint) by num_beams; decode() fans the per-beam queries over the
+    shared rows (beam_size arg)."""
     dec = params["decoder"]
     b = encoder_out.shape[0]
+    b_rows = b * beam_size
 
     def cross_kv(lp):
         ea = lp["encoder_attn"]
@@ -386,15 +395,15 @@ def init_cache(
         cross_k, ck_s, cross_v, cv_s = layer_map(cross_kv_q, dec["layers"])
         scale_w = h if kv_dtype == "int4" else 1
         scale_dt = jnp.bfloat16 if kv_dtype == "int4" else jnp.float32
-        zeros = jnp.zeros((l, b, capacity, cfg.d_model), jnp.int8)
-        zscale = jnp.ones((l, b, capacity, scale_w), scale_dt)
+        zeros = jnp.zeros((l, b_rows, capacity, cfg.d_model), jnp.int8)
+        zscale = jnp.ones((l, b_rows, capacity, scale_w), scale_dt)
         return KVCache(
             zeros, zeros, cross_k, cross_v, jnp.zeros((), jnp.int32),
             zscale, zscale, ck_s, cv_s,
         )
     cross_k, cross_v = layer_map(cross_kv, dec["layers"])
     zeros = jnp.zeros(
-        (cfg.decoder_layers, b, capacity, cfg.d_model), compute_dtype
+        (cfg.decoder_layers, b_rows, capacity, cfg.d_model), compute_dtype
     )
     return KVCache(
         zeros, zeros,
@@ -414,6 +423,7 @@ def decode(
     attn_impl: str = "xla",
     remat: bool = False,
     ring_pos: jax.Array | None = None,
+    beam_size: int = 1,
 ):
     """Decoder forward.
 
@@ -439,6 +449,14 @@ def decode(
     update instead of a per-row scatter (measured on-chip via
     tools/stream_exp.py). Rows must not live longer than `capacity` steps
     (guaranteed: max_length == capacity total tokens per row).
+
+    beam_size > 1 (with a cache built by init_cache(beam_size=...)): the
+    input rows are beam-major groups (B*beam, ...) but the cache's
+    cross-KV holds ONE row per group. Cross-attention fans each group's
+    `beam_size` queries over the shared KV rows in a single attention
+    call — the cross-KV HBM stream (the dominant beam decode cost) and
+    the cache footprint are divided by beam_size, and the per-step beam
+    reorder never has to touch cross-KV at all.
     """
     dec = params["decoder"]
     n_heads = cfg.decoder_attention_heads
@@ -595,7 +613,23 @@ def decode(
 
         h = layer_norm(lp["encoder_attn_layer_norm"], x, cfg.layer_norm_eps)
         q_flat = dense(lp["encoder_attn"]["q_proj"], h)
-        if t == 1:
+        if beam_size > 1:
+            # shared cross-KV: (B*K, t, D) queries regrouped to
+            # (B, K*t, D) attend the group's single KV row — cross-attn
+            # has no mask, so fanning beams (and prefill positions) into
+            # the query axis is exact while the KV stream is read once
+            # per GROUP per step instead of once per beam
+            bg = b // beam_size
+            ck = dequant(cross_k, ck_s) if int8_kv else cross_k
+            cv = dequant(cross_v, cv_s) if int8_kv else cross_v
+            qg = q_flat.reshape(bg, beam_size * t, q_flat.shape[-1])
+            o = attention(
+                split_heads(qg, n_heads),
+                split_heads(ck, n_heads),
+                split_heads(cv, n_heads),
+            )
+            o_flat = merge_heads(o).reshape(b, t, q_flat.shape[-1])
+        elif t == 1:
             o_flat = flat_or_ref(
                 q_flat, cross_k, cross_v,
                 jnp.asarray(cross_k.shape[1], jnp.int32),

@@ -40,12 +40,13 @@ def setup():
 
 @pytest.mark.parametrize("kv_dtype", ["compute", "int8", "int4"])
 def test_streaming_beam_matches_lockstep(setup, kv_dtype):
-    """layout="scatter" (lockstep slot order): bitwise tokens AND scores
-    for the compute-dtype cache. int8 KV: tokens exact, scores to f32 ulp
-    — the streaming cache's per-row lengths compile a different program
-    than lockstep's scalar length, and the int8 dequant ops fuse
-    differently (int8 KV already perturbs logits by far more than an ulp
-    vs fp32, so bitwise scores are not a meaningful contract there)."""
+    """layout="scatter" (lockstep slot order): bitwise tokens; scores to
+    f32 ulp. (Scores were bitwise before the shared-cross-KV layout; the
+    beam-shared cross-attention's reduction tiling now depends on the
+    window's group count, so a 1-ulp score drift vs the lockstep program
+    shape is expected — tokens only diverge if a top-k tie sits within
+    that ulp, which the scatter slot order still prevents for the
+    self-attention sums.)"""
     cfg, st, params, mels, opts = setup
     k = 3
     ref_tok, ref_sc = generate_beam(
@@ -60,10 +61,10 @@ def test_streaming_beam_matches_lockstep(setup, kv_dtype):
         ),
     )
     np.testing.assert_array_equal(out_tok, np.asarray(ref_tok))
-    if kv_dtype == "compute":
-        np.testing.assert_array_equal(out_sc, np.asarray(ref_sc))
-    else:
-        np.testing.assert_allclose(out_sc, np.asarray(ref_sc), atol=1e-5)
+    tol = 1e-6 if kv_dtype == "compute" else 1e-5
+    np.testing.assert_allclose(
+        out_sc, np.asarray(ref_sc), atol=tol, rtol=1e-6
+    )
 
 
 def test_streaming_beam_int4_ring(setup):
@@ -125,7 +126,9 @@ def test_streaming_beam_varied_stops(setup):
         np.testing.assert_array_equal(
             out_tok[i, :L], np.asarray(rt)[0], err_msg=f"row {i} stop {L}"
         )
-        np.testing.assert_array_equal(out_sc[i], np.asarray(rs)[0])
+        np.testing.assert_allclose(
+            out_sc[i], np.asarray(rs)[0], atol=1e-6, rtol=1e-6
+        )
 
 
 def test_streaming_beam_length_penalty(setup):
