@@ -54,13 +54,13 @@ def test_expected_records_follow_env(monkeypatch):
     from bench import _expected_records
 
     for var in ("KWT_BENCH_GEMM", "KWT_BENCH_BATCH",
-                "KWT_BENCH_TRAIN_BATCH"):
+                "KWT_BENCH_TRAIN_BATCH", "KWT_BENCH_TRAIN_MB"):
         monkeypatch.delenv(var, raising=False)
     exp = _expected_records()
     assert exp["fixed-48"] == ("fixed-48", "fixed-48-w8a8",
                                "fixed-64-w8a8")
     assert exp["stream-real"] == ("stream-real", "stream-real-w8a8")
-    assert exp["train-b8"] == ("train-b8",)
+    assert exp["train-b8"] == ("train-b8", "train-b128-mb16")
 
     monkeypatch.setenv("KWT_BENCH_GEMM", "int8")
     monkeypatch.setenv("KWT_BENCH_BATCH", "64")
@@ -69,6 +69,8 @@ def test_expected_records_follow_env(monkeypatch):
     assert exp["fixed-48"] == ("fixed-64-w8a8",)
     assert exp["stream-real"] == ("stream-real-w8a8",)
     assert exp["train-b8"] == ("train-b16",)
+    monkeypatch.setenv("KWT_BENCH_TRAIN_MB", "2")
+    assert _expected_records()["train-b8"] == ("train-b16-mb2",)
 
 
 def test_stream_smoke_runner():
