@@ -613,12 +613,30 @@ def decode(
 
         h = layer_norm(lp["encoder_attn_layer_norm"], x, cfg.layer_norm_eps)
         q_flat = dense(lp["encoder_attn"]["q_proj"], h)
-        if beam_size > 1:
-            # shared cross-KV: (B*K, t, D) queries regrouped to
-            # (B, K*t, D) attend the group's single KV row — cross-attn
-            # has no mask, so fanning beams (and prefill positions) into
-            # the query axis is exact while the KV stream is read once
-            # per GROUP per step instead of once per beam
+        if beam_size > 1 and t == 1:
+            # shared cross-KV decode step: the group's K beam queries
+            # attend ONE KV row, read once (1/K the HBM stream of the
+            # replicated layout); int8/int4 scales fold in-place — see
+            # decode_attention_reference_beam
+            from kotoba_whisper_tpu.ops.decode_attention import (
+                decode_attention_reference_beam,
+            )
+
+            bg = b // beam_size
+            d_ = q_flat.shape[-1]
+            q4 = q_flat.reshape(bg, beam_size, n_heads, d_ // n_heads)
+            o4 = decode_attention_reference_beam(
+                q4, cross_k, cross_v, n_heads=n_heads,
+                k_scale=ck_s if int8_kv else None,
+                v_scale=cv_s if int8_kv else None,
+            )
+            o_flat = o4.reshape(b, 1, d_)
+        elif beam_size > 1:
+            # shared cross-KV prompt prefill: (B*K, t, D) queries
+            # regrouped to (B, K*t, D) attend the group's single KV row —
+            # cross-attn has no mask, so fanning beams and prefill
+            # positions into the query axis is exact (one-shot pass;
+            # materializing the dequantized KV here is fine)
             bg = b // beam_size
             ck = dequant(cross_k, ck_s) if int8_kv else cross_k
             cv = dequant(cross_v, cv_s) if int8_kv else cross_v

@@ -111,6 +111,53 @@ def decode_attention_reference(
     return out.reshape(b, n_heads, hd).astype(out_dtype)
 
 
+def decode_attention_reference_beam(
+    q, k_flat, v_flat, *, n_heads, k_scale=None, v_scale=None,
+):
+    """Shared-KV multi-query (beam) decode attention.
+
+    q (B, K, H, hd) — K beam queries per group — against ONE flat KV row
+    per group (B, T, dh), read once. Same block-diagonal two-skinny-
+    matmul scheme as decode_attention_reference with the beam axis folded
+    into the score columns: identical FLOPs to K independent rows
+    (scores cost B·T·dh·(K·H) either way) but 1/K the KV HBM traffic —
+    the dominant beam-decode cost. Int K/V with k_scale/v_scale
+    ((B,T,1) per-row or (B,T,H) per-head) folds exactly, reading the
+    int8/int4 buffers directly (no dequantized HBM temp — the naive
+    dequant-then-attend form let XLA materialize bf16 copies of the
+    whole cross cache per step, measured 2x slower end-to-end).
+    Cross-attention only: every slot valid, no mask/ring.
+    Returns (B, K, H, hd)."""
+    b, kbeams, h, hd = q.shape
+    t = k_flat.shape[1]
+    e = jnp.asarray(_expand_matrix(h, hd))          # (H, dh)
+    int_kv = jnp.issubdtype(k_flat.dtype, jnp.integer)
+    kf = k_flat.astype(jnp.bfloat16) if int_kv else k_flat
+    q_flat = (
+        q.reshape(b, kbeams, h * hd).astype(jnp.float32) * (1.0 / hd**0.5)
+    )
+    # qd[b, d, (j, g)] = q_flat[b, j, d] * E[g, d]
+    qd = q_flat.transpose(0, 2, 1)[:, :, :, None] * e.T[None, :, None, :]
+    qd = qd.reshape(b, h * hd, kbeams * h)
+    scores = jnp.einsum(
+        "btd,bdc->btc", kf.astype(jnp.float32), qd,
+        preferred_element_type=jnp.float32,
+    ).reshape(b, t, kbeams, h)
+    if k_scale is not None:
+        scores = scores * k_scale.astype(jnp.float32)[:, :, None, :]
+    w = jax.nn.softmax(scores, axis=1)              # softmax over T
+    if v_scale is not None:
+        w = w * v_scale.astype(jnp.float32)[:, :, None, :]
+    vf = v_flat.astype(jnp.bfloat16) if int_kv else v_flat
+    wv = jnp.einsum(
+        "btkh,btd->bkhd", w, vf.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    # head g's weights only touch head g's block of v
+    out = jnp.einsum("bkhd,hd->bkd", wv, e)
+    return out.reshape(b, kbeams, h, hd).astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel: chunked streaming with online softmax
 # ---------------------------------------------------------------------------

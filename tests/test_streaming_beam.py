@@ -146,4 +146,5 @@ def test_streaming_beam_length_penalty(setup):
         ),
     )
     np.testing.assert_array_equal(out_tok, np.asarray(ref_tok))
-    np.testing.assert_array_equal(out_sc, np.asarray(ref_sc))
+    np.testing.assert_allclose(out_sc, np.asarray(ref_sc),
+                               atol=1e-5, rtol=1e-6)

@@ -141,40 +141,42 @@ def main() -> None:
         )
 
         k, g = 5, max(b // 5, 1)
-        nb = 96
+        nb = int(os.environ.get("KWT_AB_N", "96"))
+        ebatch = int(os.environ.get("KWT_AB_EBATCH", "4"))
         stops_b = stops[:nb]
         audio_b = audio[:nb]
         mels = mel_all(audio_b)
 
-        # lockstep-beam: batches of g utterances x5 beams, run to max stop
-        def one_beam_batch(mel_b, max_len):
-            o = dataclasses.replace(opts, max_length=max_len)
-            return generate_beam(
-                params, cfg, mel_b, o, st, num_beams=k,
-                compute_dtype=jnp.bfloat16, kv_dtype="int8",
-            )
+        if not args.skip_lockstep:
+            # lockstep-beam: batches of g utts x5 beams, run to max stop
+            def one_beam_batch(mel_b, max_len):
+                o = dataclasses.replace(opts, max_length=max_len)
+                return generate_beam(
+                    params, cfg, mel_b, o, st, num_beams=k,
+                    compute_dtype=jnp.bfloat16, kv_dtype="int8",
+                )
 
-        batch_len = [
-            ((int(stops_b[i : i + g].max()) + 15) // 16) * 16
-            for i in range(0, nb, g)
-        ]
+            batch_len = [
+                ((int(stops_b[i : i + g].max()) + 15) // 16) * 16
+                for i in range(0, nb, g)
+            ]
 
-        def bfence(out):
-            return int(np.asarray(out[0][0, -1]))  # readback fence
+            def bfence(out):
+                return int(np.asarray(out[0][0, -1]))  # readback fence
 
-        for t in sorted(set(batch_len)):
-            bfence(one_beam_batch(mels[:g], t))
-        t0 = time.perf_counter()
-        for i, t in zip(range(0, nb, g), batch_len):
-            bfence(one_beam_batch(mels[i : i + g], t))
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "config": "lockstep-beam",
-            "value": round(nb * feat.chunk_length_s / dt, 2),
-        }), flush=True)
+            for t in sorted(set(batch_len)):
+                bfence(one_beam_batch(mels[:g], t))
+            t0 = time.perf_counter()
+            for i, t in zip(range(0, nb, g), batch_len):
+                bfence(one_beam_batch(mels[i : i + g], t))
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "config": "lockstep-beam",
+                "value": round(nb * feat.chunk_length_s / dt, 2),
+            }), flush=True)
 
         scfg = BeamStreamConfig(
-            groups=g, num_beams=k, encode_batch=4, steps_per_round=8
+            groups=g, num_beams=k, encode_batch=ebatch, steps_per_round=8
         )
         kw = dict(compute_dtype=jnp.bfloat16, kv_dtype="int8", stream=scfg,
                   stop_at=stops_b)
