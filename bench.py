@@ -226,6 +226,17 @@ def run_stream_real(smoke: bool = False) -> dict:
             pp, cfg, mel_all(audio[: 2 * window]), opts, st, **kw
         )
         compile_s = time.perf_counter() - t_compile
+        if not smoke:
+            # full-length warmup pass: the prefix warmup compiles the
+            # programs but the FIRST full-n stream still paid a one-time
+            # allocator/tunnel cost of up to 2x (BENCH_r04 stream
+            # trial_s[0]); one uncounted full pass absorbs it so every
+            # timed trial is steady-state (VERDICT r4 #3).
+            out_w = generate_greedy_streaming(
+                pp, cfg, mel_all(audio), opts, st, **kw
+            )
+            np.asarray(out_w[-1][-1])
+            out_w = None
         times = []
         for _ in range(trials):
             t0 = time.perf_counter()

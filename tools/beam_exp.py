@@ -98,58 +98,58 @@ def main():
 
     results = {}
 
-    enc_fn = jax.jit(lambda m: whisper.encode(
-        params, cfg, m, compute_dtype=jnp.bfloat16, attn_impl="xla"))
-    enc, t = timed(enc_fn, mel)
+    enc_fn = jax.jit(lambda pp, m: whisper.encode(
+        pp, cfg, m, compute_dtype=jnp.bfloat16, attn_impl="xla"))
+    enc, t = timed(enc_fn, params, mel)
     results["encode_ms"] = round(t * 1e3, 1)
 
-    def mk_cache(e, beam_size):
+    def mk_cache(pp, e, beam_size):
         return whisper.init_cache(
-            params, cfg, e, capacity=args.max_len,
+            pp, cfg, e, capacity=args.max_len,
             beam_size=beam_size, **dt_kw,
         )
 
-    init_shared = jax.jit(lambda e: mk_cache(e, k))
-    cache_s, t = timed(init_shared, enc)
+    init_shared = jax.jit(lambda pp, e: mk_cache(pp, e, k))
+    cache_s, t = timed(init_shared, params, enc)
     results["init_shared_ms"] = round(t * 1e3, 1)
 
     enc_beams = jnp.broadcast_to(
         enc[:, None], (g, k) + enc.shape[1:]
     ).reshape((g * k,) + enc.shape[1:])
-    init_repl = jax.jit(lambda e: mk_cache(e, 1))
-    cache_r, t = timed(init_repl, enc_beams)
+    init_repl = jax.jit(lambda pp, e: mk_cache(pp, e, 1))
+    cache_r, t = timed(init_repl, params, enc_beams)
     results["init_repl_ms"] = round(t * 1e3, 1)
 
     tokens = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (g * k, 1))
 
     @jax.jit
-    def prefill(cache):
+    def prefill(pp, cache):
         return whisper.decode(
-            params, cfg, tokens[:, : p - 1], cache=cache,
+            pp, cfg, tokens[:, : p - 1], cache=cache,
             compute_dtype=jnp.bfloat16, beam_size=k,
         )[1]
 
-    cache_s2, t = timed(prefill, cache_s)
+    cache_s2, t = timed(prefill, params, cache_s)
     results["prefill_ms"] = round(t * 1e3, 1)
 
     last = tokens[:, -1:]
 
-    def steps(cache, beam_size, n):
+    def steps(pp, cache, beam_size, n):
         def body(c, _):
             logits, c2 = whisper.decode(
-                params, cfg, last, cache=c,
+                pp, cfg, last, cache=c,
                 compute_dtype=jnp.bfloat16, beam_size=beam_size,
             )
             return c2, logits[:, 0, 0]
         c, outs = jax.lax.scan(body, cache, None, length=n)
         return outs
 
-    steps_shared = jax.jit(lambda c: steps(c, k, args.steps))
-    _, t = timed(steps_shared, cache_s2)
+    steps_shared = jax.jit(lambda pp, c: steps(pp, c, k, args.steps))
+    _, t = timed(steps_shared, params, cache_s2)
     results["step_shared_ms"] = round(t / args.steps * 1e3, 2)
 
-    steps_repl = jax.jit(lambda c: steps(c, 1, args.steps))
-    _, t = timed(steps_repl, cache_r)
+    steps_repl = jax.jit(lambda pp, c: steps(pp, c, 1, args.steps))
+    _, t = timed(steps_repl, params, cache_r)
     results["step_repl_ms"] = round(t / args.steps * 1e3, 2)
 
     # full beam search at a fixed length (no early stop: eot disabled)

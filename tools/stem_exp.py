@@ -34,6 +34,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from kotoba_whisper_tpu.core.config import PRESETS  # noqa: E402
 from kotoba_whisper_tpu.models import whisper  # noqa: E402
+from kotoba_whisper_tpu.ops.conv_stem import conv_stem_pallas  # noqa: E402
 
 
 def stem_conv(enc, x, dtype):
@@ -64,6 +65,46 @@ def stem_mm(enc, x, dtype):
     h = jax.nn.gelu(_mm_conv(enc["conv1"], h, 1, dtype), approximate=False)
     h = jax.nn.gelu(_mm_conv(enc["conv2"], h, 2, dtype), approximate=False)
     return h
+
+
+def _mm3_conv(p, x, stride, dtype):
+    """k=3 conv as THREE shifted GEMMs accumulated — no im2col temp; each
+    dot is (B*T_out, C_in) @ (C_in, C_out) on the MXU and the adds fuse
+    into the epilogue."""
+    k = p["kernel"].astype(dtype)  # (3, C_in, C_out)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    t_out = x.shape[1] // stride
+    y = p["bias"].astype(jnp.float32)
+    acc = None
+    for d in range(3):
+        w = xp[:, d : d + x.shape[1] : stride][:, :t_out]
+        part = jnp.einsum(
+            "btc,cd->btd", w, k[d], preferred_element_type=jnp.float32
+        )
+        acc = part if acc is None else acc + part
+    return (acc + y).astype(dtype)
+
+
+def stem_mm3(enc, x, dtype):
+    h = jnp.transpose(x, (0, 2, 1)).astype(dtype)
+    h = jax.nn.gelu(_mm3_conv(enc["conv1"], h, 1, dtype), approximate=False)
+    h = jax.nn.gelu(_mm3_conv(enc["conv2"], h, 2, dtype), approximate=False)
+    return h
+
+
+def stem_ncw(enc, x, dtype):
+    """Feed (B, C, T) directly — XLA picks the layout, no pre-transpose."""
+    h = x.astype(dtype)
+    for name, stride in (("conv1", 1), ("conv2", 2)):
+        p = enc[name]
+        h = jax.lax.conv_general_dilated(
+            h, p["kernel"].astype(dtype),
+            window_strides=(stride,), padding=[(1, 1)],
+            dimension_numbers=("NCW", "WIO", "NCW"),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype) + p["bias"].astype(dtype)[:, None]
+        h = jax.nn.gelu(h, approximate=False)
+    return jnp.transpose(h, (0, 2, 1))
 
 
 def main():
@@ -110,6 +151,12 @@ def main():
     variants = {
         "stem_conv": jax.jit(lambda p, v: stem_conv(p["encoder"], v, dtype)),
         "stem_mm": jax.jit(lambda p, v: stem_mm(p["encoder"], v, dtype)),
+        "stem_mm3": jax.jit(lambda p, v: stem_mm3(p["encoder"], v, dtype)),
+        "stem_ncw": jax.jit(lambda p, v: stem_ncw(p["encoder"], v, dtype)),
+        "stem_pallas": jax.jit(lambda p, v: conv_stem_pallas(
+            p["encoder"]["conv1"], p["encoder"]["conv2"],
+            v.astype(dtype),
+        )),
         "stem_conv_nogelu": jax.jit(
             lambda p, v: stem_conv_nogelu(p["encoder"], v)
         ),
