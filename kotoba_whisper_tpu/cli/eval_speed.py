@@ -26,6 +26,11 @@ def main(argv=None) -> None:
                     help="int8: w8a8 dense projections (models/quantized.py)")
     ap.add_argument("--no_fuse", action="store_true",
                     help="skip the lossless inference projection fusion")
+    ap.add_argument("--wire_dtype", default="float32",
+                    choices=["float32", "int16"],
+                    help="int16: ship PCM samples to the device and "
+                    "normalize there — halves the audio upload (lossless "
+                    "for PCM-sourced audio; see decode/pipeline.py)")
     ap.add_argument("--max_length", type=int, default=128,
                     help="decode token budget per 15 s chunk. With random "
                     "weights (preset: models) the decode runs to this "
@@ -58,6 +63,7 @@ def main(argv=None) -> None:
         **gen_defaults,
         chunk_length_s=arg.chunk_length_s, compute_dtype=compute_dtype,
         attn_impl=attn, kv_dtype=arg.kv_dtype, max_length=arg.max_length,
+        wire_dtype=arg.wire_dtype,
     )
     records = evaluate_speed(
         pipe.transcribe,
@@ -71,6 +77,7 @@ def main(argv=None) -> None:
             "kv_dtype": arg.kv_dtype,
             "gemm_dtype": arg.gemm_dtype,
             "chunk_length_s": arg.chunk_length_s,
+            **({"wire_dtype": "int16"} if arg.wire_dtype == "int16" else {}),
         },
     )
     for r in records:

@@ -37,6 +37,13 @@ class AsrPipeline:
     begin_suppress_tokens: tuple = ()
     max_initial_timestamp_index: int = 50
     kv_dtype: str = "compute"
+    # "int16": ship 16-bit PCM over the host->device link and normalize
+    # on device (ops/mel.py) — halves the audio upload, which measures as
+    # ~40% of the 300 s serving latency on a remote-attached chip
+    # (tools/speed_decomp.py). Bit-identical to fp32 for PCM-sourced
+    # audio (native/audio.cpp emits pcm/32768); synthetic float inputs
+    # are quantized to the nearest PCM step.
+    wire_dtype: str = "float32"
 
     def __post_init__(self):
         import jax.numpy as jnp
@@ -70,6 +77,10 @@ class AsrPipeline:
         audio = collate_audio(
             list(batch_audio), CollatorConfig(n_samples=self.feat.n_samples)
         )
+        if self.wire_dtype == "int16":
+            audio = np.clip(
+                np.round(audio * 32768.0), -32768, 32767
+            ).astype(np.int16)
         mel = log_mel_spectrogram(jnp.asarray(audio), self.feat).astype(
             self.compute_dtype
         )

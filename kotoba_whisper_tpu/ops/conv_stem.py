@@ -34,6 +34,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _gelu_exact(x):
+    """erf-form exact GELU: jax.nn.gelu(approximate=False) lowers via
+    erfc, which Mosaic does not implement; erf does."""
+    xf = x.astype(jnp.float32)
+    return (
+        0.5 * xf * (1.0 + jax.lax.erf(xf * (2.0 ** -0.5)))
+    ).astype(x.dtype)
+
+
 def _stem_kernel(
     x_ref, w1_ref, b1_ref, vv_ref, v2_ref, b2_ref, out_ref,
     *, block_t2: int, t1: int, d_model: int,
@@ -54,7 +63,7 @@ def _stem_kernel(
             preferred_element_type=jnp.float32,
         )
     y1 = (acc + b1_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
-    y1 = jax.nn.gelu(y1, approximate=False)
+    y1 = _gelu_exact(y1)
     i_abs = 2 * base2 - 1 + jax.lax.broadcasted_iota(
         jnp.int32, (nr1, 1), 0
     )
@@ -74,7 +83,7 @@ def _stem_kernel(
         preferred_element_type=jnp.float32,
     )
     y2 = (y2 + b2_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
-    out_ref[0] = jax.nn.gelu(y2, approximate=False)
+    out_ref[0] = _gelu_exact(y2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -126,6 +126,13 @@ def log_mel_spectrogram(audio: jax.Array, cfg: FeatureConfig = FeatureConfig()) 
         audio = audio[None]
     n_bins = cfg.n_fft // 2 + 1
 
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        # int16 PCM wire format (decode/pipeline.py wire_dtype="int16"):
+        # the host ships the source 16-bit samples and the /32768
+        # normalization that native/audio.cpp would have applied on host
+        # happens here on device — bit-identical to the fp32 path for
+        # PCM-sourced audio, at half the host->device transfer
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     frames = frame_signal(audio.astype(jnp.float32), cfg.n_fft, cfg.hop_length)
     w = jnp.asarray(_dft_window_matrix(cfg.n_fft))
     # (B, F, n_fft) @ (n_fft, 2*n_bins) — the only FLOP-heavy op; MXU tiled.

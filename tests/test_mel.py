@@ -74,3 +74,44 @@ def test_pallas_mel_matches_xla(rng, n_mels):
     got = np.asarray(log_mel_spectrogram_pallas(audio, cfg))
     assert got.shape == ref.shape == (2, n_mels, 3000)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_int16_pcm_wire_bit_identical(rng):
+    """int16 PCM input (decode/pipeline.py wire_dtype="int16") produces a
+    bit-identical log-mel to the fp32 pcm/32768 path — the on-device
+    normalization is the exact op native/audio.cpp applies on host."""
+    import jax.numpy as jnp
+
+    cfg = FeatureConfig()
+    pcm = rng.integers(-32768, 32768, (2, cfg.n_samples)).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+    ref = np.asarray(log_mel_spectrogram(f32, cfg))
+    got = np.asarray(log_mel_spectrogram(jnp.asarray(pcm), cfg))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pipeline_int16_wire_matches_float(rng):
+    """AsrPipeline(wire_dtype="int16") transcribes PCM-sourced audio
+    identically to the fp32 wire (the conversion round-trips exactly)."""
+    import dataclasses
+
+    import jax
+
+    from kotoba_whisper_tpu.core.config import PRESETS
+    from kotoba_whisper_tpu.decode.pipeline import AsrPipeline
+    from kotoba_whisper_tpu.models import whisper
+    from kotoba_whisper_tpu.tokenizer.whisper_tokenizer import WhisperTokenizer
+
+    cfg = PRESETS["test-byte"]
+    tok = WhisperTokenizer.byte_vocab(cfg.vocab_size)
+    params = whisper.init_params(jax.random.key(0), cfg)
+    pcm = rng.integers(-4000, 4000, (40000,)).astype(np.int16)
+    audio = pcm.astype(np.float32) / 32768.0
+    pipe = AsrPipeline(
+        params=params, cfg=cfg, tok=tok, max_length=16,
+    )
+    ref = pipe(audio)
+    pipe16 = dataclasses.replace(pipe, wire_dtype="int16")
+    got = pipe16(audio)
+    assert got["text"] == ref["text"]
+    assert got["chunks"] == ref["chunks"]

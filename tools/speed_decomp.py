@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--max_length", type=int, default=32)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--attn", default="pallas")
+    ap.add_argument("--wire", default="float32",
+                    choices=["float32", "int16"],
+                    help="int16: PCM wire format (half the h2d bytes; "
+                    "normalized on device in ops/mel.py)")
     args = ap.parse_args()
 
     tok = common.load_tokenizer("byte")
@@ -91,6 +95,10 @@ def main():
         arr = collate_audio(
             [c.audio for c in chunks], CollatorConfig(n_samples=feat.n_samples)
         )
+        if args.wire == "int16":
+            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(
+                np.int16
+            )
         t1 = time.perf_counter()
         dev = jax.device_put(arr)
         dev.block_until_ready()
@@ -123,6 +131,10 @@ def main():
         arr = collate_audio(
             [c.audio for c in chunks], CollatorConfig(n_samples=feat.n_samples)
         )
+        if args.wire == "int16":
+            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(
+                np.int16
+            )
         mel = log_mel_spectrogram(jnp.asarray(arr), feat).astype(jnp.bfloat16)
         toks = generate_greedy(params, cfg, mel, opts, tok.special, **gen_kw)
         host_toks = np.asarray(toks)
@@ -149,7 +161,8 @@ def main():
     }
     out["n_chunks"] = len(chunk_audio(audio, chunking))
     out["config"] = {"duration": args.duration, "serving": args.serving,
-                     "max_length": args.max_length, "attn": args.attn}
+                     "max_length": args.max_length, "attn": args.attn,
+                     "wire": args.wire}
     print(json.dumps(out), flush=True)
 
 
