@@ -34,29 +34,45 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _erf(z):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7): Mosaic
+    lowers neither erf nor erfc, but exp and the VPU arithmetic here are
+    native. The approximation error is ~50x below bf16 resolution, so
+    the kernel's bf16 outputs match the XLA stem's."""
+    s = jnp.where(z >= 0.0, 1.0, -1.0)
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * za)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736
+               + t * (1.421413741
+                      + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-za * za))
+
+
 def _gelu_exact(x):
-    """erf-form exact GELU: jax.nn.gelu(approximate=False) lowers via
-    erfc, which Mosaic does not implement; erf does."""
+    """erf-form exact GELU (jax.nn.gelu(approximate=False) semantics)."""
     xf = x.astype(jnp.float32)
-    return (
-        0.5 * xf * (1.0 + jax.lax.erf(xf * (2.0 ** -0.5)))
-    ).astype(x.dtype)
+    return (0.5 * xf * (1.0 + _erf(xf * (2.0 ** -0.5)))).astype(x.dtype)
 
 
 def _stem_kernel(
-    x_ref, w1_ref, b1_ref, vv_ref, v2_ref, b2_ref, out_ref,
-    *, block_t2: int, t1: int, d_model: int,
+    x0_ref, x1_ref, x2_ref, w1_ref, b1_ref, vv_ref, v2_ref, b2_ref,
+    out_ref, *, block_t2: int, t1: int, d_model: int,
 ):
     t0 = pl.program_id(1)
     base2 = t0 * block_t2
     nr1 = 2 * block_t2 + 8
     s = 2 * base2
     # conv1: y1[l] corresponds to conv1-output index i = 2*base2 - 1 + l;
-    # y1[i] = sum_d x[i+d-1] @ W_d and x_ref holds x shifted by +2
-    # (left pad), so the d-th operand is rows [s+d, s+d+nr1).
+    # y1[i] = sum_d x[i+d-1] @ W_d. The three d-shifts arrive as three
+    # PRE-SHIFTED input rows (xd[k] = x[k + d - 2]) so every dynamic
+    # slice starts at s = 2*base2 — a multiple of the sublane tile, which
+    # Mosaic requires for vector loads (s+d would not be).
     acc = jnp.zeros((nr1, d_model), jnp.float32)
-    for d in range(3):
-        xs = x_ref[0, pl.ds(s + d, nr1), :]
+    for d, xd_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        xs = xd_ref[0, pl.ds(s, nr1), :]
         acc = acc + jax.lax.dot_general(
             xs, w1_ref[d],
             (((1,), (0,)), ((), ())),
@@ -100,9 +116,12 @@ def conv_stem_pallas(conv1: dict, conv2: dict, x, *, interpret: bool = False):
     c_pad = _round_up(c_in, 128)
     d_pad = _round_up(d_model, 128)
 
-    # (B, T, C) layout, feature axis lane-padded
+    # (B, T, C) layout, feature axis lane-padded; three shifted views
+    # (xd[k] = x[k + d - 2]) so in-kernel slice starts stay tile-aligned
     xt = jnp.transpose(x, (0, 2, 1))
     xt = jnp.pad(xt, ((0, 0), (2, 2 * t2_pad + 8 + 2 - t1), (0, c_pad - c_in)))
+    r_rows = 2 * t2_pad + 8
+    x_sh = [xt[:, d : d + r_rows] for d in range(3)]
 
     w1 = jnp.pad(
         conv1["kernel"].astype(dtype),
@@ -117,14 +136,15 @@ def conv_stem_pallas(conv1: dict, conv2: dict, x, *, interpret: bool = False):
     b2 = jnp.pad(conv2["bias"], ((0, d_pad - d_model),)).astype(dtype)[None]
 
     n_blocks = t2_pad // block_t2
-    x_rows = xt.shape[1]
     out = pl.pallas_call(
         functools.partial(
             _stem_kernel, block_t2=block_t2, t1=t1, d_model=d_pad,
         ),
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, x_rows, c_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, r_rows, c_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, r_rows, c_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, r_rows, c_pad), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((3, c_pad, d_pad), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((1, d_pad), lambda i, j: (0, 0)),
             pl.BlockSpec((2 * d_pad, d_pad), lambda i, j: (0, 0)),
@@ -136,5 +156,5 @@ def conv_stem_pallas(conv1: dict, conv2: dict, x, *, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((b, t2_pad, d_pad), dtype),
         interpret=interpret,
-    )(xt, w1, b1, vv01, v[2], b2)
+    )(*x_sh, w1, b1, vv01, v[2], b2)
     return out[:, :t2, :d_model]

@@ -81,15 +81,18 @@ def main():
     dt_kw = dict(compute_dtype=jnp.bfloat16, kv_dtype=args.kv)
 
     def fence(x):
-        np.asarray(jax.tree.leaves(x)[0]).reshape(-1)[:1]
+        # single-element readback (a full-leaf np.asarray would transfer
+        # the whole cache over the tunnel and double host memory)
         leaf = jax.tree.leaves(x)[0]
-        np.asarray(leaf).reshape(-1)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
 
-    def timed(fn, *a, trials=args.trials, **kw):
+    def timed(fn, *a, trials=args.trials, big=False, **kw):
         out = fn(*a, **kw)
         fence(out)
         times = []
         for _ in range(trials):
+            if big:
+                out = None  # don't hold two multi-GB outputs at once
             t0 = time.perf_counter()
             out = fn(*a, **kw)
             fence(out)
@@ -98,10 +101,14 @@ def main():
 
     results = {}
 
+    def record(name, val):
+        results[name] = val
+        print(json.dumps({name: val}), flush=True)
+
     enc_fn = jax.jit(lambda pp, m: whisper.encode(
         pp, cfg, m, compute_dtype=jnp.bfloat16, attn_impl="xla"))
     enc, t = timed(enc_fn, params, mel)
-    results["encode_ms"] = round(t * 1e3, 1)
+    record("encode_ms", round(t * 1e3, 1))
 
     def mk_cache(pp, e, beam_size):
         return whisper.init_cache(
@@ -110,15 +117,8 @@ def main():
         )
 
     init_shared = jax.jit(lambda pp, e: mk_cache(pp, e, k))
-    cache_s, t = timed(init_shared, params, enc)
-    results["init_shared_ms"] = round(t * 1e3, 1)
-
-    enc_beams = jnp.broadcast_to(
-        enc[:, None], (g, k) + enc.shape[1:]
-    ).reshape((g * k,) + enc.shape[1:])
-    init_repl = jax.jit(lambda pp, e: mk_cache(pp, e, 1))
-    cache_r, t = timed(init_repl, params, enc_beams)
-    results["init_repl_ms"] = round(t * 1e3, 1)
+    cache_s, t = timed(init_shared, params, enc, big=True)
+    record("init_shared_ms", round(t * 1e3, 1))
 
     tokens = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (g * k, 1))
 
@@ -129,8 +129,8 @@ def main():
             compute_dtype=jnp.bfloat16, beam_size=k,
         )[1]
 
-    cache_s2, t = timed(prefill, params, cache_s)
-    results["prefill_ms"] = round(t * 1e3, 1)
+    cache_s2, t = timed(prefill, params, cache_s, big=True)
+    record("prefill_ms", round(t * 1e3, 1))
 
     last = tokens[:, -1:]
 
@@ -146,11 +146,22 @@ def main():
 
     steps_shared = jax.jit(lambda pp, c: steps(pp, c, k, args.steps))
     _, t = timed(steps_shared, params, cache_s2)
-    results["step_shared_ms"] = round(t / args.steps * 1e3, 2)
+    record("step_shared_ms", round(t / args.steps * 1e3, 2))
+
+    # replicated-cross A/B only after the shared caches are freed
+    cache_s = cache_s2 = None
+    enc_beams = jnp.broadcast_to(
+        enc[:, None], (g, k) + enc.shape[1:]
+    ).reshape((g * k,) + enc.shape[1:])
+    init_repl = jax.jit(lambda pp, e: mk_cache(pp, e, 1))
+    cache_r, t = timed(init_repl, params, enc_beams, big=True)
+    record("init_repl_ms", round(t * 1e3, 1))
+    enc_beams = None
 
     steps_repl = jax.jit(lambda pp, c: steps(pp, c, 1, args.steps))
     _, t = timed(steps_repl, params, cache_r)
-    results["step_repl_ms"] = round(t / args.steps * 1e3, 2)
+    record("step_repl_ms", round(t / args.steps * 1e3, 2))
+    cache_r = None
 
     # full beam search at a fixed length (no early stop: eot disabled)
     st_nx = dataclasses.replace(st, eot=-1)
@@ -158,7 +169,7 @@ def main():
         params, cfg, m, opts, st_nx, num_beams=k,
         compute_dtype=jnp.bfloat16, kv_dtype=args.kv, attn_impl="xla",
     )
-    out, t = timed(full, mel)
+    out, t = timed(full, mel, big=True)
     n_gen = args.max_len - p
     results["full_ms"] = round(t * 1e3, 1)
     results["full_per_step_ms"] = round(
