@@ -213,12 +213,29 @@ def encode(
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
     remat: bool = False,
+    stem_impl: str = "xla",
 ) -> jax.Array:
-    """(B, n_mels, 3000) log-mel -> (B, 1500, d) encoder states."""
+    """(B, n_mels, 3000) log-mel -> (B, 1500, d) encoder states.
+
+    stem_impl: "xla" (default) or "pallas" (ops/conv_stem.py fused
+    kernel). Measured A/B at B=48 large-v3 (tools/stem_exp.py): 32.6 ms
+    Pallas vs 33.2 ms XLA — a wash; both run at the same ~26 TFLOP/s
+    shape-bound rate, so XLA conv stays the default and the kernel is
+    kept as the documented opt-in (SURVEY §2.2 stem-kernel row, retired
+    with data)."""
     enc = params["encoder"]
-    x = jnp.transpose(input_features, (0, 2, 1)).astype(compute_dtype)
-    x = jax.nn.gelu(conv1d(enc["conv1"], x, 1), approximate=False)
-    x = jax.nn.gelu(conv1d(enc["conv2"], x, 2), approximate=False)
+    if stem_impl == "pallas":
+        from kotoba_whisper_tpu.ops.conv_stem import conv_stem_pallas
+
+        x = conv_stem_pallas(
+            enc["conv1"], enc["conv2"],
+            input_features.astype(compute_dtype),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        x = jnp.transpose(input_features, (0, 2, 1)).astype(compute_dtype)
+        x = jax.nn.gelu(conv1d(enc["conv1"], x, 1), approximate=False)
+        x = jax.nn.gelu(conv1d(enc["conv2"], x, 2), approximate=False)
     x = x + enc["pos_embedding"].astype(compute_dtype)[None]
 
     n_heads = cfg.encoder_attention_heads

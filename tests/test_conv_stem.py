@@ -54,3 +54,16 @@ def test_stem_kernel_bf16_close():
         np.float32,
     )
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_encode_stem_impl_pallas_matches_xla():
+    """encode(stem_impl="pallas") is a drop-in for the default stem."""
+    cfg = PRESETS["test-tiny"]
+    params = whisper.init_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.standard_normal((2, cfg.num_mel_bins, 3000)) * 0.3, jnp.float32
+    )
+    ref = np.asarray(whisper.encode(params, cfg, x))
+    got = np.asarray(whisper.encode(params, cfg, x, stem_impl="pallas"))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
