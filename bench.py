@@ -395,7 +395,6 @@ def run_train_b8() -> dict:
 
     teacher = whisper.init_params(jax.random.key(0), t_cfg)
     teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), teacher)
-    student = whisper.init_params(jax.random.key(1), s_cfg)
     rng = np.random.default_rng(0)
 
     def fence(state, metrics):
@@ -408,6 +407,11 @@ def run_train_b8() -> dict:
         np.asarray(leaf[(0,) * leaf.ndim])
 
     def measure(batch: int, mb: int, mb_tag: bool) -> dict:
+        # fresh student per variant: the fused train step DONATES its
+        # state, so the first variant's updates delete the init arrays —
+        # reusing them for the second variant's init_train_state raises
+        # "Array has been deleted"
+        student = whisper.init_params(jax.random.key(1), s_cfg)
         dc = distill.DistillConfig(
             kl_weight=1.0, temperature=2.0, freeze_encoder=True,
             share_hidden_states=True, num_microbatches=mb,
