@@ -30,6 +30,10 @@ def main(argv=None) -> None:
     ap.add_argument("--min_duration_in_seconds", type=float, default=0.0)
     ap.add_argument("--n_mels", type=int, default=80)
     ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--wire_dtype", default="float32",
+                    choices=["float32", "int16"],
+                    help="int16 PCM upload for the on-device log-mel "
+                    "stage (see pseudo_label --wire_dtype)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip_filtering", action="store_true")
     ap.add_argument("--skip_logmel", action="store_true")
@@ -131,6 +135,10 @@ def main(argv=None) -> None:
         feats = []
         for batch in common.batched(kept_audio, arg.batch_size):
             arr = collate_audio(batch, ccfg)
+            if arg.wire_dtype == "int16":
+                arr = np.clip(
+                    np.round(arr * 32768.0), -32768, 32767
+                ).astype(np.int16)
             feats.append(
                 np.asarray(
                     log_mel_spectrogram(jnp.asarray(arr), feat), np.float16

@@ -49,6 +49,15 @@ def main(argv=None) -> None:
                     help="shard range start (idempotent-chunk recipe)")
     ap.add_argument("--chunk_hi", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--wire_dtype", default="float32",
+                    choices=["float32", "int16"],
+                    help="int16: ship audio to the device as 16-bit PCM "
+                    "and normalize on device (ops/mel.py) — halves the "
+                    "per-batch upload, which dominates on remote-attached "
+                    "chips. Near-lossless: quantizes to the 16-bit grid "
+                    "(the source precision of PCM corpora); resampled or "
+                    ">16-bit audio loses sub-LSB detail, so labels can "
+                    "differ from the fp32 wire at bit level")
     ap.add_argument("--kv_dtype", default="compute", choices=["compute", "int8", "int4"],
                     help="int8: per-row-quantized KV caches (halves decode "
                     "HBM traffic); int4: per-head-quantized cross-KV "
@@ -169,9 +178,16 @@ def main(argv=None) -> None:
 
         return sharded.place_batch(mesh, mel)
 
+    def wire(a: np.ndarray) -> np.ndarray:
+        if arg.wire_dtype == "int16":
+            return np.clip(
+                np.round(a * 32768.0), -32768, 32767
+            ).astype(np.int16)
+        return a
+
     def generate(batch_audio: np.ndarray) -> dict[str, np.ndarray]:
         mel = place(
-            log_mel_spectrogram(jnp.asarray(batch_audio), feat).astype(
+            log_mel_spectrogram(jnp.asarray(wire(batch_audio)), feat).astype(
                 compute_dtype
             )
         )
@@ -334,7 +350,9 @@ def main(argv=None) -> None:
             mels = np.concatenate([
                 np.asarray(
                     log_mel_spectrogram(
-                        jnp.asarray(np.stack([row for _, _, row in chunk])),
+                        jnp.asarray(
+                            wire(np.stack([row for _, _, row in chunk]))
+                        ),
                         feat,
                     ),
                     np.float32,

@@ -429,3 +429,32 @@ def test_nemo_baseline_eval(dataset_dir, tmp_path):
     )
     assert rec["model"] == "reazon-research/reazonspeech-nemo-v2"
     assert {"cer_raw", "wer_raw", "cer_norm", "wer_norm"} <= set(rec)
+
+
+@pytest.mark.slow
+def test_pseudo_label_int16_wire(dataset_dir, tmp_path):
+    """--wire_dtype int16 runs end to end; for WAV(PCM)-sourced audio
+    resampling is a no-op here (source is 16 kHz), so labels match the
+    fp32 wire exactly."""
+    import json
+
+    from kotoba_whisper_tpu.cli import pseudo_label
+
+    out = str(tmp_path)
+    base = [
+        "--dataset_dir", dataset_dir,
+        "--model", "preset:test-byte",
+        "--tokenizer", "byte",
+        "--batch_size", "3",
+        "--max_label_length", "24",
+        "--dtype", "float32",
+    ]
+    pseudo_label.main(base + ["--output_dir", f"{out}/f32"])
+    pseudo_label.main(
+        base + ["--output_dir", f"{out}/i16", "--wire_dtype", "int16"]
+    )
+    ref = {r["name"]: r["whisper_transcript"] for r in map(
+        json.loads, open(f"{out}/f32/pseudo_labels.jsonl"))}
+    got = {r["name"]: r["whisper_transcript"] for r in map(
+        json.loads, open(f"{out}/i16/pseudo_labels.jsonl"))}
+    assert got == ref
