@@ -25,11 +25,19 @@ for i in $(seq 0 $((N_CHUNKS - 1))); do
   LO=$((i * CHUNK_TARS)); HI=$(((i + 1) * CHUNK_TARS))
   OUT="$WORK/chunk_$i"
   [ -f "$OUT/filtered/filtered.jsonl" ] && continue   # re-run safe
+  # Throughput knobs (measured on v5e-1, docs/DESIGN.md perf ledger):
+  #   PSEUDO_LABEL_OPTS="--kv_dtype int8 --gemm_dtype int8 --batch_size 64"
+  #     = the fixed-64 w8a8 config, 826 audio-s/s/chip (bit-exactness vs
+  #     bf16 changes with w8a8 — validate with cli.parity_check);
+  #   add --streaming for long-label workloads, --wire_dtype int16 on
+  #   remote-attached chips (near-lossless; halves the audio upload);
+  #   beam labels: --num_beams 5 --streaming --batch_size 60 (g=12).
   python -m kotoba_whisper_tpu.cli.pseudo_label \
     --dataset_dir "$DATA_DIR" --output_dir "$OUT/labels" \
     --model "$TEACHER" --tokenizer "$TOKENIZER" \
     --language ja --task transcribe \
-    --batch_size 32 --chunk_lo "$LO" --chunk_hi "$HI"
+    --batch_size 32 --chunk_lo "$LO" --chunk_hi "$HI" \
+    ${PSEUDO_LABEL_OPTS:-}
   python -m kotoba_whisper_tpu.cli.data_filter \
     --dataset_dir "$DATA_DIR" --labels "$OUT/labels/pseudo_labels.jsonl" \
     --output_dir "$OUT/filtered" --tokenizer "$TOKENIZER" \
