@@ -1,6 +1,6 @@
 """Benchmark: pseudo-labelling + distillation throughput (audio-s/s/chip).
 
-Three measured configs (each in a watchdog subprocess — this environment's
+Four measured configs (each in a watchdog subprocess — this environment's
 remote-compile service can wedge on the largest programs, and a fresh
 process/axon session clears transient wedges):
 
@@ -18,7 +18,10 @@ process/axon session clears transient wedges):
   comparability.
 - train-b8: distillation train step (distil-large-v3 student, large-v3
   teacher logits via the frozen shared encoder, B=8, 128-token labels,
-  bf16 + remat), fwd+bwd+AdamW.
+  bf16 + remat), fwd+bwd+AdamW; emits the B=8 continuity row plus the
+  promoted round-5 config train-b128-mb16.
+- beam-stream: continuous-batching beam search (num_beams=5, 12 groups,
+  shared cross-KV, w8a8 + int8 KV) — the production beam path.
 
 Each decode subprocess measures TWO gemm variants from one model setup
 and emits a record per variant: the bf16 baseline (`fixed-48`,
@@ -87,7 +90,8 @@ TOTAL_SECS = int(os.environ.get("KWT_BENCH_TOTAL", "1380"))
 # shrunk below that (VERDICT r3 #1).
 # train cap covers the twin records (B=8 continuity + promoted
 # B=128-mb16: ~10 s + ~60 s of trials on a warm cache, plus param init)
-CONFIG_CAPS = {"fixed-48": 640, "stream-real": 450, "train-b8": 290}
+CONFIG_CAPS = {"fixed-48": 640, "stream-real": 450, "train-b8": 290,
+               "beam-stream": 200}
 # minimum useful budget to even attempt a config late in the run
 MIN_BUDGET = 90
 # per-config timeout in --prime mode (cache population, run manually —
@@ -475,10 +479,104 @@ def run_train_b8() -> dict:
     return measure(128, 16, mb_tag=True)    # promoted tuned config
 
 
+def run_stream_beam(smoke: bool = False) -> dict:
+    """Continuous-batching BEAM decode (num_beams=5) at the measured
+    round-5 sweet spot: 12 groups x 5 beams (W=60), E=6 refills, w8a8 +
+    int8 KV, shared cross-KV (decode/streaming_beam.py). The reference
+    invokes beam via generate(num_beams=N), run_pseudo_labelling.py:
+    302-311; this is its production-throughput counterpart."""
+    import jax
+    import jax.numpy as jnp
+
+    from kotoba_whisper_tpu.decode.greedy import (
+        GenerateOptions,
+        transcribe_prompt,
+    )
+    from kotoba_whisper_tpu.decode.streaming_beam import (
+        BeamStreamConfig,
+        generate_beam_streaming,
+    )
+    from kotoba_whisper_tpu.ops.mel import log_mel_spectrogram
+
+    if smoke:
+        from kotoba_whisper_tpu.core.config import (
+            FeatureConfig, PRESETS, SpecialTokens,
+        )
+        from kotoba_whisper_tpu.models import whisper
+
+        cfg = PRESETS["test-tiny"]
+        st = SpecialTokens.for_vocab(cfg.vocab_size)
+        feat = FeatureConfig(n_mels=cfg.num_mel_bins)
+        params = whisper.init_params(jax.random.key(0), cfg)
+        n, g, k, e, max_len = 4, 2, 2, 1, 20
+        dtype = jnp.float32
+    else:
+        from kotoba_whisper_tpu.models.quantized import quantize_for_inference
+
+        cfg, st, feat, params = _large_v3_setup()
+        if bench_gemm() != "int8":
+            params = quantize_for_inference(params)  # w8a8 is the config
+        g = int(os.environ.get("KWT_BENCH_BEAM_GROUPS", "12"))
+        k, e = 5, int(os.environ.get("KWT_BENCH_BEAM_EBATCH", "6"))
+        n, max_len = 96, 176
+        dtype = jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((n, feat.n_samples)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16 if not smoke else jnp.float32)
+
+    def mel_all(a, eb=16):
+        return jnp.concatenate([
+            log_mel_spectrogram(
+                a[i : i + eb].astype(jnp.float32), feat
+            ).astype(dtype)
+            for i in range(0, a.shape[0], eb)
+        ])
+
+    prompt = transcribe_prompt(st, st.lang_begin + 6)
+    opts = GenerateOptions(prompt_ids=prompt, max_length=max_len)
+    stops = _realistic_stops(n, len(prompt), rng) if not smoke else None
+    scfg = BeamStreamConfig(
+        groups=g, num_beams=k, encode_batch=e, steps_per_round=8,
+    )
+    kw = dict(compute_dtype=dtype, kv_dtype="int8" if not smoke else
+              "compute", stream=scfg, stop_at=stops)
+
+    t0 = time.perf_counter()
+    generate_beam_streaming(
+        params, cfg, mel_all(audio[: 2 * g]), opts, st, **kw
+    )
+    compile_s = time.perf_counter() - t0
+    trials = 1 if smoke else int(os.environ.get("KWT_BENCH_TRIALS", "2"))
+    times = []
+    out = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out, _scores = generate_beam_streaming(
+            params, cfg, mel_all(audio), opts, st, **kw
+        )
+        np.asarray(out[-1][-1])
+        times.append(time.perf_counter() - t0)
+    assert out.shape[0] == n
+    dt = float(np.min(times))
+    return {
+        "config": "beam-stream-w8a8",
+        "value": round(n * feat.chunk_length_s / dt, 2),
+        "detail": {
+            "n_utts": n, "groups": g, "num_beams": k, "encode_batch": e,
+            "kv": "int8", "gemm": "int8",
+            "trial_s": [round(t, 3) for t in times],
+            "compile_s": round(compile_s, 1),
+        },
+    }
+
+
 RUNNERS = {
     "stream-real": run_stream_real,
     "fixed-48": run_fixed48,
     "train-b8": run_train_b8,
+    "beam-stream": run_stream_beam,
 }
 
 
@@ -530,7 +628,8 @@ def _expected_records() -> dict:
         train = (f"train-b{tb}" + (f"-mb{tm}" if tm > 1 else ""),)
     else:
         train = ("train-b8", "train-b128-mb16")
-    return {"fixed-48": fixed, "stream-real": stream, "train-b8": train}
+    return {"fixed-48": fixed, "stream-real": stream, "train-b8": train,
+            "beam-stream": ("beam-stream-w8a8",)}
 
 
 def main() -> None:
@@ -584,7 +683,7 @@ def main() -> None:
         return
 
     t_start = time.monotonic()
-    order = ("fixed-48", "stream-real", "train-b8")
+    order = ("fixed-48", "stream-real", "train-b8", "beam-stream")
     extra: dict = {}
 
     def collect(stdout: str | bytes | None, t_a: float) -> list:

@@ -121,3 +121,20 @@ def test_dec_exp_harness_smoke():
     final = recs[-1]
     assert final["full"]["per_step_ms"] > 0
     assert final["no_head"]["per_step_ms"] > 0
+
+
+def test_beam_stream_smoke_runner():
+    """run_stream_beam(smoke=True) — CPU path — well-formed record."""
+    rec = __import__("bench").run_stream_beam(smoke=True)
+    assert rec["config"] == "beam-stream-w8a8"
+    assert rec["value"] > 0
+    assert rec["detail"]["num_beams"] == 2
+
+
+def test_expected_records_include_beam(monkeypatch):
+    from bench import _expected_records
+
+    for var in ("KWT_BENCH_GEMM", "KWT_BENCH_BATCH",
+                "KWT_BENCH_TRAIN_BATCH", "KWT_BENCH_TRAIN_MB"):
+        monkeypatch.delenv(var, raising=False)
+    assert _expected_records()["beam-stream"] == ("beam-stream-w8a8",)
