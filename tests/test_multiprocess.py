@@ -499,3 +499,120 @@ def test_two_process_pseudo_label_driver_parity(tmp_path):
     with open(out2 / "pseudo_labels.csv", newline="") as f:
         rows = list(_csv.reader(f))[1:]
     assert {r[0] for r in rows} == set(ref)
+
+
+@pytest.mark.slow
+def test_two_process_distill_driver_with_resume(tmp_path):
+    """The distill DRIVER as a 2-process jax.distributed job (VERDICT r4
+    #1): per-host loader slices feeding a cross-process data mesh, rank-0
+    metric logging, a collective Orbax save — then a second 2-process
+    launch resumes from the checkpoint and trains further."""
+    import json
+    import struct
+
+    import numpy as np
+
+    from kotoba_whisper_tpu.cli import data_filter, pseudo_label
+    from kotoba_whisper_tpu.data import reazon
+
+    def wav_bytes(audio, sr=16000):
+        pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+        return (
+            struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+                sr, sr * 2, 2, 16, b"data", len(pcm),
+            )
+            + pcm
+        )
+
+    # synthetic vectorized training data via the real stage drivers
+    rng = np.random.default_rng(5)
+    d = tmp_path / "reazon"
+    d.mkdir()
+    utts = [
+        (f"t/{i}.wav", wav_bytes(rng.standard_normal(4000) * 0.1))
+        for i in range(8)
+    ]
+    reazon.write_tar_shard(str(d / "000.tar"), utts)
+    (d / "transcript.tsv").write_text(
+        "\n".join(f"t/{i}.wav\tutterance {i}" for i in range(8)),
+        encoding="utf-8",
+    )
+    pseudo_label.main([
+        "--dataset_dir", str(d), "--output_dir", str(tmp_path / "labels"),
+        "--model", "preset:test-byte", "--tokenizer", "byte",
+        "--batch_size", "4", "--max_label_length", "16",
+        "--dtype", "float32",
+    ])
+    data_filter.main([
+        "--dataset_dir", str(d),
+        "--labels", str(tmp_path / "labels" / "pseudo_labels.jsonl"),
+        "--output_dir", str(tmp_path / "vec"),
+        "--tokenizer", "byte", "--skip_filtering",
+        "--max_label_length", "24", "--batch_size", "4",
+    ])
+
+    out_dir = tmp_path / "train"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd()
+    env.pop("JAX_PLATFORMS", None)
+    env["KWT_PLATFORM"] = "cpu"
+    env["KWT_NUM_CPU_DEVICES"] = "1"
+
+    def launch(port, max_steps):
+        args = [
+            "--train_splits", str(tmp_path / "vec"),
+            "--student", "preset:test-byte",
+            "--teacher", "preset:test-byte",
+            "--tokenizer", "byte",
+            "--output_dir", str(out_dir),
+            "--per_device_train_batch_size", "2",
+            "--max_steps", str(max_steps),
+            "--num_train_epochs", "3",
+            "--save_steps", "2", "--logging_steps", "1",
+            "--warmup_steps", "1", "--dtype", "float32",
+            "--no_prefetch",
+        ]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "kotoba_whisper_tpu.cli.distill",
+                 *args, "--coordinator_address", f"127.0.0.1:{port}",
+                 "--num_processes", "2", "--process_id", str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i}:\n{out[-4000:]}"
+        return outs
+
+    port = 12000 + (os.getpid() + 601) % 20000
+    launch(port, max_steps=2)
+    ckpts = [n for n in os.listdir(out_dir) if n.startswith("checkpoint-")]
+    assert ckpts, os.listdir(out_dir)
+    # rank-0-only metric log, with the reference's metric names
+    metrics = [
+        json.loads(l)
+        for l in open(out_dir / "metrics.run.jsonl")
+    ]
+    assert any("train/loss" in m for m in metrics)
+    # exported model exists (rank-0 write after collective host_copy)
+    assert (out_dir / "final" / "config.json").exists()
+
+    # resume: a fresh 2-process launch continues from the checkpoint
+    outs = launch(port + 7, max_steps=4)
+    assert any("resumed from" in o for o in outs), outs[0][-1500:]
+    steps = [m["step"] for m in (
+        json.loads(l) for l in open(out_dir / "metrics.run.jsonl")
+    )]
+    assert max(steps) >= 4, steps
