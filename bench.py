@@ -560,8 +560,13 @@ def run_stream_beam(smoke: bool = False) -> dict:
         times.append(time.perf_counter() - t0)
     assert out.shape[0] == n
     dt = float(np.min(times))
+    # env-override runs are named by their geometry so they never
+    # masquerade as the baseline config (ADVICE r4 lesson)
+    name = "beam-stream-w8a8"
+    if not smoke and (g, e) != (12, 6):
+        name += f"-g{g}e{e}"
     return {
-        "config": "beam-stream-w8a8",
+        "config": name,
         "value": round(n * feat.chunk_length_s / dt, 2),
         "detail": {
             "n_utts": n, "groups": g, "num_beams": k, "encode_batch": e,
